@@ -1,0 +1,147 @@
+"""Rayleigh fading channels: Jakes sum-of-sinusoids + ITU multipath FIR.
+
+TPU-native reformulation of /root/reference/core/rayleighchannel.py and
+core/channel.py:83-245:
+
+- Jakes fading h(t) = √(2/Ns)·Σ_n exp(j(2π f_D cos(α_n) t + φ_n)) with
+  Ns=16 sinusoids, α_n = 2πn/Ns, φ_n ~ U(0,2π)
+  (rayleighchannel.py:20-42). Vectorized as ONE complex matmul:
+      H(T, L) = E(T, Ns) @ P(Ns, L)
+  where E = exp(j ω_n t) is shared across all links/taps (depends only on
+  f_D and the sample clock) and P = exp(j φ) carries the per-(tap, link)
+  random phases. The reference regenerates an independent waveform per tap
+  per call (rayleighchannel.py:51-53); here taps × links × frames fold into
+  the L axis of the matmul.
+
+- Multipath: y(t) = Σ_i g_i · h_i(t) · x(t - d_i) with integer-sample static
+  delays d_i = round(delay·fs) and linear amplitudes g_i = 10^(dB/20)
+  (rayleighchannel.py:44-58, channel.py:162-186). Delays are static shifts
+  (pad + slice), so the tap loop unrolls into the XLA graph.
+
+- SNR is applied against the measured *post-fading* power
+  (channel.py:216-229), matching the reference's definition.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import cplx
+from ..cplx import C
+from ..config import ITU_CHANNEL_MODELS, ITU_DEFAULT_VELOCITY_KMH, doppler_hz
+from .awgn import awgn
+
+_PREC = jax.lax.Precision.HIGHEST
+N_SINUSOIDS = 16
+
+
+class MultipathProfile(NamedTuple):
+    """Static channel profile: integer delays (samples), linear tap gains."""
+
+    name: str
+    delays_samples: tuple      # ints
+    gains_linear: tuple        # floats (amplitude, 10^(dB/20))
+    doppler_hz: float
+    fs: float
+
+    @property
+    def num_taps(self) -> int:
+        return len(self.delays_samples)
+
+
+@functools.lru_cache(maxsize=None)
+def make_profile(itu_profile: str, fs: float, velocity_kmh: float = None,
+                 frequency_ghz: float = 2.0, fd: float = None) -> MultipathProfile:
+    prof = ITU_CHANNEL_MODELS[itu_profile]
+    delays_s = np.asarray(prof["delays_us"]) * 1e-6
+    gains = tuple(float(g) for g in 10.0 ** (np.asarray(prof["power_db"]) / 20.0))
+    delays = tuple(int(round(d * fs)) for d in delays_s)
+    if fd is None:
+        v = velocity_kmh if velocity_kmh is not None \
+            else ITU_DEFAULT_VELOCITY_KMH[itu_profile]
+        fd = doppler_hz(v, frequency_ghz)
+    return MultipathProfile(itu_profile, delays, gains, float(fd), float(fs))
+
+
+def jakes_taps(key: jax.Array, profile: MultipathProfile, num_samples: int,
+               batch_shape: tuple = ()) -> C:
+    """Time-varying complex tap gains h_i(t), shape (*batch, num_taps, T).
+
+    One complex matmul: E (T, Ns) @ P (Ns, batch·taps).
+    """
+    T = num_samples
+    ns = N_SINUSOIDS
+    t = jnp.arange(T, dtype=jnp.float32) / profile.fs
+    alpha = 2.0 * np.pi * np.arange(1, ns + 1) / ns
+    omega = (2.0 * np.pi * profile.doppler_hz * np.cos(alpha)).astype(np.float32)
+    E = cplx.expi(t[:, None] * omega[None, :])                # (T, Ns)
+
+    L = int(np.prod(batch_shape, dtype=int)) * profile.num_taps
+    phi = jax.random.uniform(key, (ns, L), jnp.float32, 0.0, 2.0 * np.pi)
+    P = cplx.expi(phi)                                        # (Ns, L)
+
+    H = cplx.matmul(E, P, precision=_PREC) * np.sqrt(2.0 / ns)  # (T, L)
+    H = C(H.re.T, H.im.T)                                     # (L, T)
+    return H.reshape(batch_shape + (profile.num_taps, T))
+
+
+def apply_multipath(key: jax.Array, x: C, profile: MultipathProfile) -> C:
+    """Faded signal y(t) = Σ_i g_i h_i(t) x(t-d_i); x: (..., T) -> (..., T).
+
+    Fresh fading per call (independent channel realization), as the reference
+    draws new Jakes phases for every transmission (rayleighchannel.py:31).
+    """
+    T = x.shape[-1]
+    batch = x.shape[:-1]
+    taps = jakes_taps(key, profile, T, batch)                 # (..., taps, T)
+
+    y_re = jnp.zeros_like(x.re)
+    y_im = jnp.zeros_like(x.im)
+    for i, (d, g) in enumerate(zip(profile.delays_samples, profile.gains_linear)):
+        if d == 0:
+            xd = x
+        else:
+            xd = C(
+                jnp.pad(x.re, [(0, 0)] * len(batch) + [(d, 0)])[..., :T],
+                jnp.pad(x.im, [(0, 0)] * len(batch) + [(d, 0)])[..., :T],
+            )
+        h = taps[..., i, :]
+        prod = h * xd
+        y_re = y_re + g * prod.re
+        y_im = y_im + g * prod.im
+    return C(y_re, y_im)
+
+
+def rayleigh_multipath(key: jax.Array, x: C, snr_db, profile: MultipathProfile,
+                       measure_axes=None) -> C:
+    """Multipath fading + AWGN at SNR relative to post-fading power
+    (/root/reference/core/channel.py:203-234)."""
+    kf, kn = jax.random.split(key)
+    y = apply_multipath(kf, x, profile)
+    return awgn(kn, y, snr_db, measure_axes=measure_axes)
+
+
+def flat_fading(key: jax.Array, x: C, snr_db) -> C:
+    """Per-sample iid CN(0,1) multiplicative fading + AWGN (legacy
+    FadingChannel, /root/reference/core/channel.py:248-291)."""
+    kh, kn = jax.random.split(key)
+    h = _cn01(kh, x.shape)
+    return awgn(kn, h * x, snr_db)
+
+
+def _cn01(key: jax.Array, shape) -> C:
+    kr, ki = jax.random.split(key)
+    s = 1.0 / np.sqrt(2.0)
+    return C(jax.random.normal(kr, shape, jnp.float32) * s,
+             jax.random.normal(ki, shape, jnp.float32) * s)
+
+
+def flat_mimo_matrix(key: jax.Array, num_rx: int, num_tx: int,
+                     batch_shape: tuple = ()) -> C:
+    """iid CN(0,1) flat MIMO link matrix H[..., rx, tx]
+    (/root/reference/core/channel.py:471-477)."""
+    return _cn01(key, batch_shape + (num_rx, num_tx))

@@ -1,0 +1,243 @@
+"""Complex arithmetic as real pairs — the TPU-native complex representation.
+
+TPUs have no native complex ALU: XLA lowers complex ops to pairs of real ops,
+and the backend used here exposes no complex dtype at all. We therefore make
+the struct-of-arrays representation explicit: a complex tensor is a `C`
+NamedTuple of two float32 arrays (re, im). This is a JAX pytree, so it flows
+through jit / vmap / scan / shard_map unchanged, and every operation below maps
+onto VPU elementwise lanes or MXU matmuls.
+
+Complex matmul is expanded into real matmuls (the 4-multiply form — on the MXU
+the 3-multiply Karatsuba form saves nothing because the adds are not free and
+the extra dependency chain hurts fusion).
+
+This module replaces NumPy complex arrays used throughout the reference
+(e.g. /root/reference/core/modulator.py:78, core/channel.py:56-60).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+Scalar = Union[int, float]
+
+
+class C(NamedTuple):
+    """A complex tensor as a (re, im) pair of same-shape real arrays."""
+
+    re: jnp.ndarray
+    im: jnp.ndarray
+
+    # ---- structural ----
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def ndim(self):
+        return self.re.ndim
+
+    @property
+    def dtype(self):
+        return self.re.dtype
+
+    def __len__(self):
+        return len(self.re)
+
+    def __getitem__(self, idx) -> "C":
+        return C(self.re[idx], self.im[idx])
+
+    def reshape(self, *shape) -> "C":
+        return C(self.re.reshape(*shape), self.im.reshape(*shape))
+
+    def transpose(self, *axes) -> "C":
+        return C(self.re.transpose(*axes), self.im.transpose(*axes))
+
+    @property
+    def T(self) -> "C":
+        return C(self.re.T, self.im.T)
+
+    def astype(self, dt) -> "C":
+        return C(self.re.astype(dt), self.im.astype(dt))
+
+    def flatten(self) -> "C":
+        return C(self.re.flatten(), self.im.flatten())
+
+    # ---- arithmetic ----
+    def __add__(self, o) -> "C":
+        if isinstance(o, C):
+            return C(self.re + o.re, self.im + o.im)
+        return C(self.re + o, self.im)
+
+    def __radd__(self, o) -> "C":
+        return self.__add__(o)
+
+    def __sub__(self, o) -> "C":
+        if isinstance(o, C):
+            return C(self.re - o.re, self.im - o.im)
+        return C(self.re - o, self.im)
+
+    def __rsub__(self, o) -> "C":
+        return C(o - self.re, -self.im)
+
+    def __neg__(self) -> "C":
+        return C(-self.re, -self.im)
+
+    def __mul__(self, o) -> "C":
+        if isinstance(o, C):
+            return C(self.re * o.re - self.im * o.im,
+                     self.re * o.im + self.im * o.re)
+        return C(self.re * o, self.im * o)
+
+    def __rmul__(self, o) -> "C":
+        return self.__mul__(o)
+
+    def __truediv__(self, o) -> "C":
+        if isinstance(o, C):
+            d = o.re * o.re + o.im * o.im
+            return C((self.re * o.re + self.im * o.im) / d,
+                     (self.im * o.re - self.re * o.im) / d)
+        return C(self.re / o, self.im / o)
+
+    def conj(self) -> "C":
+        return C(self.re, -self.im)
+
+    def abs2(self) -> jnp.ndarray:
+        return self.re * self.re + self.im * self.im
+
+    def abs(self) -> jnp.ndarray:
+        return jnp.sqrt(self.abs2())
+
+    def sum(self, axis=None, keepdims=False) -> "C":
+        return C(self.re.sum(axis=axis, keepdims=keepdims),
+                 self.im.sum(axis=axis, keepdims=keepdims))
+
+    def mean(self, axis=None, keepdims=False) -> "C":
+        return C(self.re.mean(axis=axis, keepdims=keepdims),
+                 self.im.mean(axis=axis, keepdims=keepdims))
+
+    # ---- interop ----
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self.re) + 1j * np.asarray(self.im)
+
+
+# ---------------------------------------------------------------------------
+# constructors
+# ---------------------------------------------------------------------------
+
+def czeros(shape, dtype=jnp.float32) -> C:
+    z = jnp.zeros(shape, dtype)
+    return C(z, z)
+
+
+def cones(shape, dtype=jnp.float32) -> C:
+    return C(jnp.ones(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def from_numpy(x, dtype=jnp.float32) -> C:
+    x = np.asarray(x)
+    return C(jnp.asarray(x.real, dtype), jnp.asarray(x.imag, dtype))
+
+
+def const(x, dtype=jnp.float32) -> C:
+    """Embed a NumPy complex constant (computed at trace time) as a C pair."""
+    return from_numpy(x, dtype)
+
+
+def expi(theta: jnp.ndarray) -> C:
+    """exp(i·theta) elementwise."""
+    return C(jnp.cos(theta), jnp.sin(theta))
+
+
+# ---------------------------------------------------------------------------
+# linear algebra
+# ---------------------------------------------------------------------------
+
+def matmul(a: C, b: C, precision=None) -> C:
+    """Complex matmul as 4 real MXU matmuls. preferred_element_type=f32."""
+    f32 = jnp.float32
+    rr = jnp.matmul(a.re, b.re, precision=precision, preferred_element_type=f32)
+    ii = jnp.matmul(a.im, b.im, precision=precision, preferred_element_type=f32)
+    ri = jnp.matmul(a.re, b.im, precision=precision, preferred_element_type=f32)
+    ir = jnp.matmul(a.im, b.re, precision=precision, preferred_element_type=f32)
+    return C(rr - ii, ri + ir)
+
+
+def matmul_rc(a_real: jnp.ndarray, b: C, precision=None) -> C:
+    """Real @ complex."""
+    f32 = jnp.float32
+    return C(jnp.matmul(a_real, b.re, precision=precision, preferred_element_type=f32),
+             jnp.matmul(a_real, b.im, precision=precision, preferred_element_type=f32))
+
+
+def matmul_cr(a: C, b_real: jnp.ndarray, precision=None) -> C:
+    """Complex @ real."""
+    f32 = jnp.float32
+    return C(jnp.matmul(a.re, b_real, precision=precision, preferred_element_type=f32),
+             jnp.matmul(a.im, b_real, precision=precision, preferred_element_type=f32))
+
+
+def einsum(spec: str, a: C, b: C) -> C:
+    rr = jnp.einsum(spec, a.re, b.re)
+    ii = jnp.einsum(spec, a.im, b.im)
+    ri = jnp.einsum(spec, a.re, b.im)
+    ir = jnp.einsum(spec, a.im, b.re)
+    return C(rr - ii, ri + ir)
+
+
+def vdot(a: C, b: C, axis=-1, keepdims=False) -> C:
+    """Hermitian inner product sum(conj(a)·b) along axis."""
+    return (a.conj() * b).sum(axis=axis, keepdims=keepdims)
+
+
+def where(mask: jnp.ndarray, a: C, b: C) -> C:
+    return C(jnp.where(mask, a.re, b.re), jnp.where(mask, a.im, b.im))
+
+
+def stack(xs, axis=0) -> C:
+    return C(jnp.stack([x.re for x in xs], axis=axis),
+             jnp.stack([x.im for x in xs], axis=axis))
+
+
+def concatenate(xs, axis=0) -> C:
+    return C(jnp.concatenate([x.re for x in xs], axis=axis),
+             jnp.concatenate([x.im for x in xs], axis=axis))
+
+
+def pad(x: C, pad_width, **kw) -> C:
+    return C(jnp.pad(x.re, pad_width, **kw), jnp.pad(x.im, pad_width, **kw))
+
+
+def scatter_set(base: C, idx, values: C) -> C:
+    return C(base.re.at[idx].set(values.re), base.im.at[idx].set(values.im))
+
+
+def scatter_add(base: C, idx, values: C) -> C:
+    return C(base.re.at[idx].add(values.re), base.im.at[idx].add(values.im))
+
+
+def take(x: C, idx, axis=0) -> C:
+    return C(jnp.take(x.re, idx, axis=axis), jnp.take(x.im, idx, axis=axis))
+
+
+def solve(a: C, b: C) -> C:
+    """Solve A x = b for complex A via the real 2Nx2N block embedding.
+
+    [[Ar, -Ai], [Ai, Ar]] @ [xr; xi] = [br; bi]
+
+    Works for batched leading dims. Used by the MMSE/ZF MIMO detectors
+    (replacing np.linalg.inv at /root/reference/core/mimo_detector.py:162).
+    """
+    n = a.shape[-1]
+    top = jnp.concatenate([a.re, -a.im], axis=-1)
+    bot = jnp.concatenate([a.im, a.re], axis=-1)
+    areal = jnp.concatenate([top, bot], axis=-2)          # (..., 2n, 2n)
+    if b.ndim == a.ndim - 1:  # vector rhs
+        breal = jnp.concatenate([b.re, b.im], axis=-1)    # (..., 2n)
+        x = jnp.linalg.solve(areal, breal[..., None])[..., 0]
+        return C(x[..., :n], x[..., n:])
+    breal = jnp.concatenate([b.re, b.im], axis=-2)        # (..., 2n, k)
+    x = jnp.linalg.solve(areal, breal)
+    return C(x[..., :n, :], x[..., n:, :])
