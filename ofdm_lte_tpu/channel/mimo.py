@@ -1,0 +1,132 @@
+"""MIMO channel legs: per-(tx, rx)-link fading + one noise injection per RX.
+
+TPU-native replacement for the reference's per-link channel objects:
+
+- transmit_mimo (/root/reference/core/ofdm_core.py:434-543):
+  * 'awgn' mode: fixed unit taps with 90°/TX phase separation
+    h[rx,tx] = exp(i·tx·π/2)  (ofdm_core.py:479-487)
+  * 'rayleigh_mp' mode: independent multipath fading per link (no noise),
+    summed at each RX (ofdm_core.py:489-520)
+  * one AWGN injection per RX with power (P_rx/num_tx)/snr (ofdm_core.py:522-541)
+
+- transmit_spatial_multiplexing (/root/reference/core/channel.py:397-493):
+  * flat mode: iid CN(0,1) scalar per link, noise P_rx/snr per RX
+  * multipath mode: independent RayleighChannel per link + per-RX noise
+
+- transmit_simo (ofdm_core.py:361-412): one independent SISO channel per RX.
+
+Antennas are array axes; links batch through the Jakes matmul in one shot.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import cplx
+from ..cplx import C
+from .awgn import awgn, noise_like
+from .rayleigh import (MultipathProfile, apply_multipath, flat_mimo_matrix,
+                       rayleigh_multipath)
+
+
+def _per_rx_noise(key, y: C, snr_db, power_scale: float = 1.0) -> C:
+    """Add AWGN per RX leg: noise_power = power_scale·P_rx/snr, measured over
+    the last axis per leading lane."""
+    snr_lin = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
+    p = jnp.mean(y.abs2(), axis=-1, keepdims=True)
+    if snr_lin.ndim > 0:
+        snr_lin = snr_lin.reshape(snr_lin.shape + (1,) * (p.ndim - snr_lin.ndim))
+    noise_power = power_scale * p / snr_lin
+    n = noise_like(key, y.shape, noise_power)
+    return C(y.re + n.re, y.im + n.im)
+
+
+def transmit_simo(key, signal: C, snr_db, num_rx: int, channel_type: str,
+                  profile: MultipathProfile = None) -> C:
+    """One TX signal through num_rx independent channels.
+
+    signal (..., T) -> (num_rx, ..., T).
+    """
+    keys = jax.random.split(key, num_rx)
+
+    def leg(k):
+        if channel_type == "awgn":
+            return awgn(k, signal, snr_db,
+                        measure_axes=-1 if signal.ndim > 1 else None)
+        return rayleigh_multipath(k, signal, snr_db, profile,
+                                  measure_axes=-1 if signal.ndim > 1 else None)
+
+    return jax.vmap(leg)(keys)
+
+
+def transmit_mimo(key, signals_tx: C, snr_db, num_rx: int, channel_type: str,
+                  profile: MultipathProfile = None) -> Tuple[C, C]:
+    """signals_tx (num_tx, ..., T) -> (y (num_rx, ..., T), H (num_rx, num_tx)).
+
+    H is the fixed AWGN-mode tap matrix (exact) or ones (multipath mode —
+    real CSI comes from CRS estimation at the receiver, the reference's
+    power-correlation estimate at ofdm_core.py:507-517 is diagnostic only).
+    """
+    num_tx = signals_tx.shape[0]
+    kf, kn = jax.random.split(key)
+
+    if channel_type == "awgn":
+        phases = np.exp(1j * np.arange(num_tx) * np.pi / 2)      # (num_tx,)
+        H = np.tile(phases[None, :], (num_rx, 1))
+        Hc = cplx.const(H)
+        # y_rx = Σ_tx h[rx,tx]·x_tx : contract over tx axis
+        y = cplx.einsum("rt,t...->r...", Hc, signals_tx)
+    else:
+        # independent multipath fading per (rx, tx) link, no noise yet
+        def one_rx(k):
+            ks = jax.random.split(k, num_tx)
+            faded = jax.vmap(
+                lambda kk, x: apply_multipath(kk, x, profile)
+            )(ks, signals_tx)                                     # (num_tx, ..., T)
+            return faded.sum(axis=0)                              # (..., T)
+
+        y = jax.vmap(one_rx)(jax.random.split(kf, num_rx))        # (num_rx, ..., T)
+        Hc = cplx.cones((num_rx, num_tx))
+
+    keys_n = jax.random.split(kn, num_rx)
+    y = jax.vmap(lambda k, yr: _per_rx_noise(k, yr, snr_db, 1.0 / num_tx)
+                 )(keys_n, y)
+    return y, Hc
+
+
+def transmit_spatial_multiplexing(key, signals_tx: C, snr_db, num_rx: int,
+                                  channel_type: str,
+                                  profile: MultipathProfile = None
+                                  ) -> Tuple[C, C]:
+    """TM4 spatial-multiplexing channel (/root/reference/core/channel.py:397-493).
+
+    signals_tx (num_tx, ..., T) -> (y (num_rx, ..., T), H).
+    Flat mode: H[..., rx, tx] iid CN(0,1) applied as scalars; multipath mode:
+    per-link Jakes multipath, H returned as ones (CRS estimation supplies CSI).
+    Noise: P_rx/snr per RX (NOT normalized by num_tx — channel.py:458-464).
+    """
+    num_tx = signals_tx.shape[0]
+    kf, kn = jax.random.split(key)
+    lanes = signals_tx.shape[1:-1]
+
+    if channel_type == "rayleigh_mp":
+        def one_rx(k):
+            ks = jax.random.split(k, num_tx)
+            faded = jax.vmap(
+                lambda kk, x: apply_multipath(kk, x, profile)
+            )(ks, signals_tx)
+            return faded.sum(axis=0)
+
+        y = jax.vmap(one_rx)(jax.random.split(kf, num_rx))
+        H = cplx.cones(lanes + (num_rx, num_tx))
+    else:
+        H = flat_mimo_matrix(kf, num_rx, num_tx, lanes)           # (..., rx, tx)
+        # y[rx, ..., t] = Σ_tx H[..., rx, tx] · x[tx, ..., t]
+        y = cplx.einsum("...rt,t...s->r...s", H, signals_tx)
+
+    keys_n = jax.random.split(kn, num_rx)
+    y = jax.vmap(lambda k, yr: _per_rx_noise(k, yr, snr_db, 1.0))(keys_n, y)
+    return y, H

@@ -1,0 +1,38 @@
+"""Sharded Monte-Carlo BER sweep on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import pytest
+
+from ofdm_lte_tpu import LTEConfig
+from ofdm_lte_tpu.parallel import sweep
+
+
+def test_sweep_runs_on_mesh():
+    cfg = LTEConfig(bandwidth=1.25, modulation="QPSK")
+    mesh = sweep.make_mesh()
+    assert len(mesh.devices.flat) == 8
+    r = sweep.ber_sweep(jax.random.PRNGKey(0), cfg,
+                        snr_points=[0.0, 6.0, 12.0, 60.0],
+                        frames_per_device=2, num_ofdm_symbols=14, mesh=mesh)
+    ber = np.asarray(r.ber)
+    assert ber.shape == (4,)
+    assert r.frames == 16
+    # monotone decreasing, zero at 60 dB
+    assert ber[0] > ber[1] > ber[2]
+    assert ber[3] == 0.0
+    assert np.all(np.asarray(r.papr_db) > 3.0)
+
+
+def test_sweep_single_device_matches_mesh_statistics():
+    cfg = LTEConfig(bandwidth=1.25, modulation="QPSK")
+    mesh1 = sweep.make_mesh(jax.devices()[:1])
+    mesh8 = sweep.make_mesh()
+    r1 = sweep.ber_sweep(jax.random.PRNGKey(1), cfg, [6.0],
+                         frames_per_device=16, num_ofdm_symbols=14, mesh=mesh1)
+    r8 = sweep.ber_sweep(jax.random.PRNGKey(1), cfg, [6.0],
+                         frames_per_device=2, num_ofdm_symbols=14, mesh=mesh8)
+    assert r1.frames == r8.frames == 16
+    b1, b8 = float(r1.ber[0]), float(r8.ber[0])
+    # same distribution, independent draws: agree within loose MC bounds
+    assert abs(b1 - b8) < 0.02
+    assert 0.001 < b8 < 0.05
