@@ -222,6 +222,13 @@ def take(x: C, idx, axis=0) -> C:
     return C(jnp.take(x.re, idx, axis=axis), jnp.take(x.im, idx, axis=axis))
 
 
+def take_along(x: C, idx: jnp.ndarray, axis: int = -1) -> C:
+    """Gather one element along `axis` per batch lane; squeezes that axis."""
+    ex = jnp.expand_dims(idx, axis)
+    return C(jnp.squeeze(jnp.take_along_axis(x.re, ex, axis=axis), axis),
+             jnp.squeeze(jnp.take_along_axis(x.im, ex, axis=axis), axis))
+
+
 def solve(a: C, b: C) -> C:
     """Solve A x = b for complex A via the real 2Nx2N block embedding.
 

@@ -88,6 +88,44 @@ def modulate_symbols(data: C, config: LTEConfig, cell_id: int = 0) -> C:
     return C(out.re + pw_re, out.im + pw_im)
 
 
+@functools.lru_cache(maxsize=None)
+def _mod_consts_custom(N: int, cp: int, data_bins: tuple, pilot_bins: tuple,
+                       cell_id: int):
+    """Fused-modulation constants for an arbitrary static bin layout.
+
+    Used by the SFBC / spatial-multiplexing TX paths where each antenna maps
+    data to a subset of bins and carries its own orthogonal CRS pilots
+    (/root/reference/core/sfbc_alamouti.py:241-262,
+    core/ofdm_core.py:2642-2654)."""
+    t = np.concatenate([np.arange(N - cp, N), np.arange(N)])
+    k_data = np.asarray(data_bins, np.float64)
+    A = np.exp(2j * np.pi * np.outer(t, k_data) / N) / np.sqrt(N)
+    if len(pilot_bins):
+        pilots = pilot_sequence(cell_id, len(pilot_bins))
+        k_pil = np.asarray(pilot_bins, np.float64)
+        Ap = np.exp(2j * np.pi * np.outer(t, k_pil) / N) / np.sqrt(N)
+        pw = Ap @ pilots
+    else:
+        pw = np.zeros(len(t), np.complex128)
+    B = A.T
+    return (B.real.astype(np.float32), B.imag.astype(np.float32),
+            pw.real.astype(np.float32), pw.imag.astype(np.float32))
+
+
+def modulate_custom(data: C, config: LTEConfig, data_bins, pilot_bins,
+                    cell_id: int) -> C:
+    """Fused scatter+IDFT+CP for custom data/pilot bin layouts.
+
+    data: C (..., S, len(data_bins)) -> C (..., S, N+cp)."""
+    Bre, Bim, pw_re, pw_im = _mod_consts_custom(
+        config.N, config.cp_length,
+        tuple(int(b) for b in data_bins), tuple(int(b) for b in pilot_bins),
+        cell_id)
+    out = cplx.matmul(data, C(jnp.asarray(Bre), jnp.asarray(Bim)),
+                      precision=_PREC)
+    return C(out.re + pw_re, out.im + pw_im)
+
+
 def modulate_grid(grid: C, config: LTEConfig) -> C:
     """IFFT·√N + CP for an explicit full N-bin grid (..., S, N) -> (..., S, N+cp).
 
