@@ -1,0 +1,182 @@
+"""Turbo-coded SISO downlink chain (CRC-24A + segmentation + turbo + rate
+matching + block interleaving + soft demodulation).
+
+Replaces OFDMSimulator.simulate_siso_coded
+(/root/reference/core/ofdm_core.py:925-1338). Reference semantics preserved:
+
+- E = 3K+12 (no puncturing, ofdm_core.py:1016-1022), rv=0
+- row/column time-frequency symbol interleaver: write rows of n_data QAM
+  symbols, read columns (ofdm_core.py:1037-1060)
+- slot-periodic CRS estimation + per-symbol ZF, H collected at data bins
+- per-subcarrier noise variance σ²/|H|², |H|² clipped to [1e-6, 1e6], floor
+  σ²/4 (max 6 dB ZF amplification, ofdm_core.py:1224-1243); AWGN: constant σ²
+- max-log LLRs clipped ±10 (QPSK unclipped), 8 decoder iterations
+- CRC-24A pass/fail on the desegmented transport block
+
+Orchestration is host-side (CRC/segmentation decide shapes); every heavy
+stage (turbo encode/decode batched over equal-K code blocks, the OFDM link,
+LLR generation) is a jitted XLA program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import cplx
+from ..cplx import C
+from ..config import LTEConfig
+from ..grid import grid_for
+from ..ops import qam, ofdm
+from ..channel.awgn import awgn
+from ..channel.rayleigh import make_profile, rayleigh_multipath
+from ..rx import estimation as est
+from ..coding import crc, segmentation, turbo, rate_matching
+
+
+class CodedResult(NamedTuple):
+    bits_rx: np.ndarray
+    bit_errors: int
+    ber: float
+    crc_pass: bool
+    papr_db: float
+    coded_bits_length: int
+    channel_snr_db: float
+
+
+@functools.partial(jax.jit, static_argnames=("config", "S", "channel_type",
+                                             "itu_profile", "velocity_kmh"))
+def _coded_link(key, data_syms: C, snr_db, config: LTEConfig, S: int,
+                channel_type: str, itu_profile: str, velocity_kmh):
+    """Jitted middle: grid/IFFT/CP -> channel -> FFT -> CRS est -> ZF.
+
+    data_syms: C (S, n_data) interleaved QAM symbols.
+    Returns (equalized data symbols (S, n_data), H at data bins (S, n_data),
+    papr, pilot snr db)."""
+    g = grid_for(config)
+    tx = ofdm.modulate_symbols(data_syms, config)
+    sig = tx.reshape((S * config.samples_per_ofdm_symbol,))
+    papr = ofdm.papr_db(sig)
+
+    if channel_type == "awgn":
+        rx = awgn(key, sig, snr_db)
+    else:
+        profile = make_profile(itu_profile, config.fs, velocity_kmh, 2.0)
+        rx = rayleigh_multipath(key, sig, snr_db, profile)
+
+    y = ofdm.frame_stream(rx, config)
+    y_data = ofdm.demodulate_bins(y, config, g.data_idx)
+
+    slot_starts = est.slot_start_indices(S)
+    y_pil = ofdm.demodulate_bins(y[slot_starts, :], config, g.pilot_idx)
+    h_pil = est.ls_at_pilots(y_pil)
+    psnr = est.pilot_snr_db(y_pil, axis=(-2, -1))
+    h_slots = est.interpolate(h_pil, config, out_bins=g.data_idx)
+    h_data = est.slot_periodic(h_slots, S)
+    x_eq = est.zf_equalize(y_data, h_data)
+    return x_eq, h_data, papr, psnr
+
+
+@functools.partial(jax.jit, static_argnames=("K", "num_iterations"))
+def _decode_group(llr_blocks: jnp.ndarray, K: int,
+                  num_iterations: int) -> jnp.ndarray:
+    dem = rate_matching.rate_dematch(llr_blocks, K, 0)
+    return turbo.turbo_decode(dem, K, num_iterations)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _encode_group(blocks: jnp.ndarray, K: int) -> jnp.ndarray:
+    enc = turbo.turbo_encode(blocks, K)
+    return rate_matching.rate_match(enc, 3 * K + 12, K, 0)
+
+
+def simulate_siso_coded(key: jax.Array, bits: np.ndarray, snr_db: float,
+                        config: LTEConfig, channel_type: str = "awgn",
+                        itu_profile: str = "Pedestrian_A",
+                        velocity_kmh: float = None,
+                        num_iterations: int = 8) -> CodedResult:
+    bits = np.asarray(bits).astype(np.uint8)
+    n_orig = len(bits)
+    g = grid_for(config)
+    nd = g.num_data
+    bps = config.bits_per_symbol
+
+    # ---- TX coding (host decides shapes, jit does the work) ----
+    tb = crc.attach_crc24a(bits)
+    blocks, meta = segmentation.segment_code_blocks(tb)
+
+    # group equal-K blocks for batched encode
+    rm_blocks = [None] * len(blocks)
+    for K in sorted(set(meta["block_sizes"])):
+        idxs = [i for i, k in enumerate(meta["block_sizes"]) if k == K]
+        batch = jnp.asarray(np.stack([blocks[i] for i in idxs]).astype(np.int32))
+        out = np.asarray(_encode_group(batch, K))
+        for j, i in enumerate(idxs):
+            rm_blocks[i] = out[j]
+    coded = np.concatenate(rm_blocks)
+    coded_len = len(coded)
+
+    # ---- QAM + block interleaver (ofdm_core.py:1032-1060) ----
+    pad_b = (-coded_len) % bps
+    coded_p = np.concatenate([coded, np.zeros(pad_b, np.int64)])
+    n_sym = len(coded_p) // bps
+    rows = int(np.ceil(n_sym / nd))
+    total = rows * nd
+    syms = qam.modulate(jnp.asarray(coded_p.astype(np.int32)),
+                        config.modulation)
+    syms = cplx.pad(syms, [(0, total - n_sym)])
+    inter = C(syms.re.reshape(rows, nd).T.reshape(rows * nd),
+              syms.im.reshape(rows, nd).T.reshape(rows * nd))
+    data_syms = inter.reshape((rows, nd))
+    S = rows
+
+    # ---- link ----
+    x_eq, h_data, papr, psnr = _coded_link(
+        key, data_syms, float(snr_db), config, S, channel_type, itu_profile,
+        velocity_kmh)
+
+    # ---- de-interleave symbols + H (ofdm_core.py:1174-1207) ----
+    flat_eq = x_eq.reshape((S * nd,))
+    flat_h = h_data.reshape((S * nd,))
+    de = C(flat_eq.re.reshape(nd, rows).T.reshape(-1),
+           flat_eq.im.reshape(nd, rows).T.reshape(-1))[..., :n_sym]
+    h_de = C(flat_h.re.reshape(nd, rows).T.reshape(-1),
+             flat_h.im.reshape(nd, rows).T.reshape(-1))[..., :n_sym]
+
+    # ---- per-subcarrier noise variance (ofdm_core.py:1224-1243) ----
+    sigma2 = 1.0 / (10.0 ** (snr_db / 10.0))
+    if channel_type == "awgn":
+        noise_var = jnp.full((n_sym,), sigma2, jnp.float32)
+    else:
+        h_pow = jnp.clip(h_de.abs2(), 1e-6, 1e6)
+        noise_var = jnp.maximum(sigma2 / h_pow, sigma2 / 4.0)
+
+    llrs = qam.llrs(de, noise_var, config.modulation)
+    llrs = np.asarray(llrs)[:coded_len]
+    if len(llrs) < coded_len:
+        llrs = np.pad(llrs, (0, coded_len - len(llrs)))
+
+    # ---- decode per block (batched by K) ----
+    offs = np.cumsum([0] + [len(b) for b in rm_blocks])
+    dec_blocks = [None] * len(blocks)
+    for K in sorted(set(meta["block_sizes"])):
+        idxs = [i for i, k in enumerate(meta["block_sizes"]) if k == K]
+        batch = jnp.asarray(np.stack(
+            [llrs[offs[i]:offs[i + 1]] for i in idxs]).astype(np.float32))
+        out = np.asarray(_decode_group(batch, K, num_iterations))
+        for j, i in enumerate(idxs):
+            dec_blocks[i] = out[j].astype(np.uint8)
+
+    tb_rx = segmentation.desegment_code_blocks(dec_blocks, meta)
+    crc_pass = crc.check_crc24a(tb_rx)
+    bits_rx = tb_rx[:-24] if len(tb_rx) >= 24 else tb_rx
+    if len(bits_rx) < n_orig:
+        bits_rx = np.pad(bits_rx, (0, n_orig - len(bits_rx)))
+    bits_rx = bits_rx[:n_orig]
+
+    errors = int(np.sum(bits_rx != bits))
+    return CodedResult(bits_rx, errors, errors / n_orig, crc_pass,
+                       float(papr), coded_len, float(psnr))
