@@ -40,7 +40,32 @@ def _byte_table(poly: int, nbits: int) -> np.ndarray:
 
 
 def crc_bits(data_bits: np.ndarray, poly: int, nbits: int) -> np.ndarray:
-    """CRC of a bit array (MSB-first), returns nbits bits. NumPy host path."""
+    """CRC of a bit array (MSB-first), returns nbits bits.
+
+    Uses the native C library when available (megabit transport blocks);
+    NumPy byte-table fallback otherwise."""
+    data_bits = np.asarray(data_bits, np.uint8)
+    n = len(data_bits)
+
+    try:
+        from .. import native_ext
+        if native_ext.available():
+            reg = native_ext.crc_register(data_bits, poly, nbits)
+            return _reg_to_bits(reg, nbits)
+    except Exception:
+        pass
+    return _crc_bits_numpy(data_bits, poly, nbits)
+
+
+def _reg_to_bits(reg: int, nbits: int) -> np.ndarray:
+    out = np.zeros(nbits, np.uint8)
+    for i in range(nbits):
+        out[nbits - 1 - i] = (int(reg) >> i) & 1
+    return out
+
+
+def _crc_bits_numpy(data_bits: np.ndarray, poly: int, nbits: int) -> np.ndarray:
+    """Byte-table NumPy CRC (fallback / ground truth for the native path)."""
     data_bits = np.asarray(data_bits, np.uint8)
     n = len(data_bits)
     # pad to byte multiple at the FRONT with zeros (leading zeros do not
@@ -55,10 +80,7 @@ def crc_bits(data_bits: np.ndarray, poly: int, nbits: int) -> np.ndarray:
     for b in by:
         idx = ((reg >> shift) ^ b) & 0xFF
         reg = ((reg << 8) ^ table[idx]) & mask
-    out = np.zeros(nbits, np.uint8)
-    for i in range(nbits):
-        out[nbits - 1 - i] = (int(reg) >> i) & 1
-    return out
+    return _reg_to_bits(int(reg), nbits)
 
 
 def calculate_crc24a(bits) -> np.ndarray:

@@ -55,7 +55,7 @@ def effective_channel(H: C, W: C) -> C:
 
 def mmse(y: C, H_eff: C, sigma2) -> C:
     """y (..., rx), H_eff (..., rx, L) -> ŝ (..., L)."""
-    G = _add_diag(_gram(H_eff), sigma2)
+    G = _add_diag(_gram(H_eff), _align_sigma(sigma2, H_eff))
     return cplx.solve(G, _Hh_y(H_eff, y))
 
 
@@ -73,6 +73,16 @@ def mrc(y: C, H_eff: C) -> C:
     return C(s.re[..., None], s.im[..., None])
 
 
+def _align_sigma(sigma2, H_eff: C):
+    """Left-align a scalar or per-lane σ² against H_eff's batch dims so it
+    broadcasts correctly under appended matrix axes."""
+    s = jnp.asarray(sigma2, jnp.float32)
+    batch_rank = H_eff.ndim - 2
+    if s.ndim and s.ndim < batch_rank:
+        s = s.reshape(s.shape + (1,) * (batch_rank - s.ndim))
+    return s
+
+
 def sic(y: C, H_eff: C, sigma2, modulation: str) -> C:
     """Successive interference cancellation with hard decisions.
 
@@ -83,9 +93,11 @@ def sic(y: C, H_eff: C, sigma2, modulation: str) -> C:
     (mimo_detector.py:284-293).
     """
     L = H_eff.shape[-1]
+    sigma2 = _align_sigma(sigma2, H_eff)
+    sigma2_l = sigma2[..., None] if jnp.ndim(sigma2) else sigma2
     col_power = H_eff.abs2().sum(axis=-2)                     # (..., L)
     total = col_power.sum(axis=-1, keepdims=True)
-    sinr = col_power / (total - col_power + sigma2 + 1e-10)
+    sinr = col_power / (total - col_power + sigma2_l + 1e-10)
     order = jnp.argsort(-sinr, axis=-1)                       # (..., L)
 
     y_res = y
@@ -100,7 +112,8 @@ def sic(y: C, H_eff: C, sigma2, modulation: str) -> C:
                H_eff.im * active[..., None, :])
         G = _gram(Hm)
         eye = jnp.eye(L, dtype=G.re.dtype)
-        G = C(G.re + eye * sigma2 + eye * (1.0 - active[..., None, :]), G.im)
+        s_mat = sigma2[..., None, None] if jnp.ndim(sigma2) else sigma2
+        G = C(G.re + eye * s_mat + eye * (1.0 - active[..., None, :]), G.im)
         s_all = cplx.solve(G, _Hh_y(Hm, y_res))               # (..., L)
         s_l = cplx.take_along(s_all, layer)
         s_hard = qam.detect(s_l, modulation)

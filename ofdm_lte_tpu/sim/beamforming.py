@@ -81,6 +81,8 @@ def simulate_beamforming(key: jax.Array, bits: jnp.ndarray, snr_db,
     y = He_b * s_b                                       # (..., rx, n)
 
     noise_var = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 10.0)
+    if noise_var.ndim:   # per-lane SNR: align against (..., rx, n)
+        noise_var = noise_var.reshape(noise_var.shape + (1, 1))
     n = noise_like(kn, y.shape, noise_var)
     y = C(y.re + n.re, y.im + n.im)
 

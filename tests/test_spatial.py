@@ -105,6 +105,27 @@ def test_spatial_4x4_rank4():
     assert float(r.ber) < 0.05, float(r.ber)
 
 
+def test_batched_lanes_per_lane_snr():
+    """Monte-Carlo leading axes + per-lane SNR through spatial/beamforming
+    (regression: σ² alignment against appended matrix axes)."""
+    import jax.numpy as jnp
+    cfg = LTEConfig(bandwidth=1.25, modulation="QPSK")
+    lanes = 3
+    bits = np.random.default_rng(0).integers(
+        0, 2, (lanes, spatial.bits_per_frame(cfg, 14))).astype(np.int32)
+    snrs = jnp.asarray([0.0, 15.0, 60.0])
+    for det in ("MMSE", "SIC"):
+        r = spatial.simulate_spatial_multiplexing(
+            jax.random.PRNGKey(0), jnp.asarray(bits), snrs, cfg,
+            num_tx=2, num_rx=2, rank=2, detector_type=det)
+        b = np.asarray(r.ber)
+        assert b.shape == (lanes,) and b[0] > b[2]
+    rb = bfs.simulate_beamforming(jax.random.PRNGKey(0), jnp.asarray(bits),
+                                  snrs, cfg, num_tx=4, num_rx=2)
+    b = np.asarray(rb.ber)
+    assert b.shape == (lanes,) and b[0] > b[2] == 0.0
+
+
 def test_spatial_sic_beats_zf_at_moderate_snr():
     cfg = LTEConfig(bandwidth=5.0, modulation="16-QAM")
     e = {"ZF": 0, "SIC": 0}
