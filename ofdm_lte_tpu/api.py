@@ -86,6 +86,9 @@ class OFDMSimulator:
             "papr_db": float(r.papr_db),
             "papr_linear": float(10 ** (float(r.papr_db) / 10)),
             "pilot_snr_db": float(r.pilot_snr_db),
+            "evm_percent": _metrics.evm_percent(
+                __import__("ofdm_lte_tpu.ops.qam", fromlist=["qam"]).detect(
+                    r.symbols_rx, self.config.modulation), r.symbols_rx),
             "symbols_rx": r.symbols_rx.to_numpy().reshape(-1),
             "signal_tx": r.signal_tx.to_numpy(),
         }
@@ -225,24 +228,50 @@ class OFDMSimulator:
 
     # -- sweeps ------------------------------------------------------------
     def run_ber_sweep(self, bits: np.ndarray, snr_range,
-                      num_trials: int = 1, progress_callback=None) -> Dict:
-        """Sequential-API sweep (ofdm_core.py:1795-1846). For large sweeps
-        prefer parallel.sweep.ber_sweep (sharded, one XLA program)."""
-        snrs, bers, paprs = [], [], []
-        for i, snr in enumerate(snr_range):
+                      num_trials: int = 1, progress_callback=None,
+                      confidence: float = 0.95) -> Dict:
+        """Sequential-API sweep with per-point t-distribution confidence
+        intervals (ofdm_core.py:1795-1846 + ofdm_system.py:495-504). For
+        large sweeps prefer parallel.sweep.ber_sweep (sharded, one XLA
+        program)."""
+        snr_list = list(snr_range)
+        snrs, bers, paprs, ci_lo, ci_hi = [], [], [], [], []
+        for i, snr in enumerate(snr_list):
             trial_bers = []
             papr = 0.0
             for _ in range(num_trials):
                 r = self.simulate_siso(bits, snr_db=float(snr))
                 trial_bers.append(r["ber"])
                 papr = r["papr_db"]
+            m, lo, hi = _metrics.ber_confidence_interval(trial_bers,
+                                                         confidence)
             snrs.append(float(snr))
-            bers.append(float(np.mean(trial_bers)))
+            bers.append(m)
+            ci_lo.append(lo)
+            ci_hi.append(hi)
             paprs.append(papr)
             if progress_callback:
-                progress_callback(i + 1, len(list(snr_range)))
+                progress_callback(i + 1, len(snr_list))
         return {"snr_values": np.asarray(snrs), "ber_values": np.asarray(bers),
+                "ber_ci_low": np.asarray(ci_lo),
+                "ber_ci_high": np.asarray(ci_hi),
                 "papr_values": np.asarray(paprs)}
+
+    def run_ber_sweep_all_modulations(self, bits: np.ndarray, snr_range,
+                                      num_trials: int = 1) -> Dict:
+        """Sweep every modulation scheme, rebuilding the chain per scheme
+        (reference: ofdm_system.py:522-601)."""
+        from .config import MODULATION_SCHEMES
+        out = {}
+        for mod in MODULATION_SCHEMES:
+            sim = OFDMSimulator(self.config.copy(modulation=mod),
+                                channel_type=self.channel_type,
+                                mode=self.mode,
+                                enable_sc_fdm=self.enable_sc_fdm,
+                                itu_profile=self.itu_profile,
+                                velocity_kmh=self.velocity_kmh or 0.0)
+            out[mod] = sim.run_ber_sweep(bits, snr_range, num_trials)
+        return out
 
 
 class OFDMModule:

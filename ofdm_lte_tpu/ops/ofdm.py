@@ -42,6 +42,15 @@ from ..grid import grid_for, pilot_sequence
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _cmm(a: C, b: C) -> C:
+    """Complex matmul for the modem: Pallas fused kernel when enabled
+    (OFDM_LTE_TPU_PALLAS=1), XLA 4-matmul expansion otherwise."""
+    from . import pallas_kernels
+    if pallas_kernels.pallas_enabled():
+        return pallas_kernels.cmatmul(a, b)
+    return cplx.matmul(a, b, precision=_PREC)
+
+
 @functools.lru_cache(maxsize=None)
 def _mod_consts(N: int, Nc: int, cp: int, cell_id: int):
     """(B_re, B_im) of shape (n_data, N+cp) and pilot_wave (N+cp,) complex."""
@@ -83,8 +92,7 @@ def modulate_symbols(data: C, config: LTEConfig, cell_id: int = 0) -> C:
     """
     Bre, Bim, pw_re, pw_im = _mod_consts(config.N, config.Nc,
                                          config.cp_length, cell_id)
-    out = cplx.matmul(data, C(jnp.asarray(Bre), jnp.asarray(Bim)),
-                      precision=_PREC)
+    out = _cmm(data, C(jnp.asarray(Bre), jnp.asarray(Bim)))
     return C(out.re + pw_re, out.im + pw_im)
 
 
@@ -121,8 +129,7 @@ def modulate_custom(data: C, config: LTEConfig, data_bins, pilot_bins,
         config.N, config.cp_length,
         tuple(int(b) for b in data_bins), tuple(int(b) for b in pilot_bins),
         cell_id)
-    out = cplx.matmul(data, C(jnp.asarray(Bre), jnp.asarray(Bim)),
-                      precision=_PREC)
+    out = _cmm(data, C(jnp.asarray(Bre), jnp.asarray(Bim)))
     return C(out.re + pw_re, out.im + pw_im)
 
 
@@ -153,8 +160,7 @@ def demodulate_bins(y: C, config: LTEConfig, bins: np.ndarray) -> C:
     ysig = y[..., config.cp_length:]
     Gre, Gim = _demod_consts(config.N, config.cp_length,
                              tuple(int(b) for b in bins))
-    return cplx.matmul(ysig, C(jnp.asarray(Gre), jnp.asarray(Gim)),
-                       precision=_PREC)
+    return _cmm(ysig, C(jnp.asarray(Gre), jnp.asarray(Gim)))
 
 
 def demodulate_full(y: C, config: LTEConfig) -> C:

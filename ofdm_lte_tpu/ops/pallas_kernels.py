@@ -1,0 +1,105 @@
+"""Pallas TPU kernels for the hot compute path.
+
+The framework's dominant kernel is the complex matmul behind the DFT-based
+OFDM modem (ops/ofdm.py) — four real MXU matmuls when expressed in XLA. The
+fused Pallas kernel below computes both output planes in ONE pass over the
+operand tiles:
+
+    Cr = Ar·Br − Ai·Bi        Ci = Ar·Bi + Ai·Br
+
+Each (A-tile, B-tile) pair is loaded into VMEM once and feeds four pl.dot
+MXU calls, halving HBM traffic for the A/B operands versus four independent
+matmuls (XLA usually cannot fuse across the four dots because each is a
+separate HLO with its own tiling choice).
+
+The kernel grid is (M/bm, N/bn) with the full K dimension resident per tile
+— for this workload K ≤ 2048 (the FFT size), so A-tiles of (bm, K) and
+B-tiles of (K, bn) fit comfortably in VMEM (≤ 2 MB each at f32).
+
+Used via ops.ofdm when OFDM_LTE_TPU_PALLAS=1 (or cmatmul(..., backend=
+"pallas")); numerically identical to the XLA path (same f32 MXU dots).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+from .. import cplx
+from ..cplx import C
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAVE_PALLAS = True
+except ImportError:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+def _cmatmul_kernel(ar_ref, ai_ref, br_ref, bi_ref, cr_ref, ci_ref):
+    ar = ar_ref[:]
+    ai = ai_ref[:]
+    br = br_ref[:]
+    bi = bi_ref[:]
+    f32 = jnp.float32
+    prec = jax.lax.Precision.HIGHEST   # true-f32 MXU passes (parity with XLA)
+    rr = jnp.dot(ar, br, preferred_element_type=f32, precision=prec)
+    ii = jnp.dot(ai, bi, preferred_element_type=f32, precision=prec)
+    ri = jnp.dot(ar, bi, preferred_element_type=f32, precision=prec)
+    ir = jnp.dot(ai, br, preferred_element_type=f32, precision=prec)
+    cr_ref[:] = rr - ii
+    ci_ref[:] = ri + ir
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn"))
+def cmatmul_pallas_2d(a: C, b: C, bm: int = 128, bn: int = 128) -> C:
+    """Fused complex matmul for 2-D operands: (M, K) @ (K, N) -> (M, N)."""
+    M, K = a.shape
+    K2, N = b.shape
+    assert K == K2
+    bm = min(bm, M)
+    bn = min(bn, N)
+
+    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn))
+    out_shape = (
+        jax.ShapeDtypeStruct((M, N), jnp.float32),
+        jax.ShapeDtypeStruct((M, N), jnp.float32),
+    )
+    a_spec = pl.BlockSpec((bm, K), lambda i, j: (i, 0))
+    b_spec = pl.BlockSpec((K, bn), lambda i, j: (0, j))
+    c_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j))
+
+    cr, ci = pl.pallas_call(
+        _cmatmul_kernel,
+        grid=grid,
+        in_specs=[a_spec, a_spec, b_spec, b_spec],
+        out_specs=(c_spec, c_spec),
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * M * K * N,
+            bytes_accessed=8 * (M * K + K * N + M * N),
+            transcendentals=0,
+        ),
+    )(a.re, a.im, b.re, b.im)
+    return C(cr, ci)
+
+
+def cmatmul(a: C, b: C) -> C:
+    """Complex matmul with leading batch dims flattened into M.
+
+    a: (..., M0, K), b: (K, N) — the modem's shape pattern (B is a constant
+    DFT matrix shared across the batch).
+    """
+    if not HAVE_PALLAS:
+        return cplx.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    lead = a.shape[:-1]
+    K = a.shape[-1]
+    a2 = a.reshape((-1, K))
+    out = cmatmul_pallas_2d(a2, b)
+    return out.reshape(lead + (b.shape[-1],))
+
+
+def pallas_enabled() -> bool:
+    return HAVE_PALLAS and os.environ.get("OFDM_LTE_TPU_PALLAS", "0") == "1"
