@@ -55,16 +55,41 @@ class MultipathProfile(NamedTuple):
 
 @functools.lru_cache(maxsize=None)
 def make_profile(itu_profile: str, fs: float, velocity_kmh: float = None,
-                 frequency_ghz: float = 2.0, fd: float = None) -> MultipathProfile:
+                 frequency_ghz: float = 2.0, fd: float = None,
+                 gain_convention: str = "reference") -> MultipathProfile:
+    """Build a static multipath profile.
+
+    gain_convention:
+    - "reference" (default): reproduce the reference's EFFECTIVE tap gains,
+      which convert dB -> linear TWICE — RayleighMultiPathChannel first maps
+      10^(dB/20) (/root/reference/core/channel.py:184) and
+      RayleighChannel.__init__ then maps the result through 10^(x/20) AGAIN
+      (core/rayleighchannel.py:16). The composition 10^(10^(dB/20)/20)
+      makes all ITU taps nearly equal amplitude (Ped-A: 1.122, 1.038,
+      1.013, 1.008) — i.e. the reference actually simulates a strongly
+      frequency-selective near-uniform tap channel, not the published
+      power-delay profile. Preserved so BER curves match the reference
+      within Monte-Carlo bounds.
+    - "physical": the correct single conversion 10^(dB/20) (use for
+      standards-faithful ITU-R M.1225 simulation).
+    """
     prof = ITU_CHANNEL_MODELS[itu_profile]
     delays_s = np.asarray(prof["delays_us"]) * 1e-6
-    gains = tuple(float(g) for g in 10.0 ** (np.asarray(prof["power_db"]) / 20.0))
+    lin_once = 10.0 ** (np.asarray(prof["power_db"]) / 20.0)
+    if gain_convention == "reference":
+        gains_arr = 10.0 ** (lin_once / 20.0)
+    elif gain_convention == "physical":
+        gains_arr = lin_once
+    else:
+        raise ValueError(f"unknown gain_convention {gain_convention}")
+    gains = tuple(float(g) for g in gains_arr)
     delays = tuple(int(round(d * fs)) for d in delays_s)
     if fd is None:
         v = velocity_kmh if velocity_kmh is not None \
             else ITU_DEFAULT_VELOCITY_KMH[itu_profile]
         fd = doppler_hz(v, frequency_ghz)
-    return MultipathProfile(itu_profile, delays, gains, float(fd), float(fs))
+    return MultipathProfile(itu_profile + "/" + gain_convention, delays,
+                            gains, float(fd), float(fs))
 
 
 def jakes_taps(key: jax.Array, profile: MultipathProfile, num_samples: int,

@@ -68,15 +68,23 @@ def test_multipath_power_profile():
 
 
 def test_profile_delays_and_gains():
-    """ITU profile conversion: µs -> samples at fs, dB -> 10^(dB/20)
-    (/root/reference/core/channel.py:162-186)."""
+    """ITU profile conversion: µs -> samples; default gain convention
+    reproduces the reference's DOUBLE dB->linear conversion
+    (channel.py:184 then rayleighchannel.py:16 — measured effective gains
+    [1.122, 1.038, 1.013, 1.008] for Ped-A); "physical" gives the true
+    10^(dB/20) profile."""
     fs = 7.68e6
     prof = make_profile("Pedestrian_A", fs, velocity_kmh=3.0)
     assert prof.delays_samples == tuple(
         int(round(d * 1e-6 * fs)) for d in (0.0, 0.11, 0.19, 0.41))
-    np.testing.assert_allclose(
-        prof.gains_linear,
-        10 ** (np.array([0.0, -9.7, -19.2, -22.8]) / 20.0), rtol=1e-12)
+    once = 10 ** (np.array([0.0, -9.7, -19.2, -22.8]) / 20.0)
+    np.testing.assert_allclose(prof.gains_linear, 10 ** (once / 20.0),
+                               rtol=1e-12)
+    np.testing.assert_allclose(prof.gains_linear,
+                               [1.1220, 1.0384, 1.0127, 1.0084], atol=1e-4)
+    phys = make_profile("Pedestrian_A", fs, velocity_kmh=3.0,
+                        gain_convention="physical")
+    np.testing.assert_allclose(phys.gains_linear, once, rtol=1e-12)
     assert abs(prof.doppler_hz - (3 / 3.6) * 2e9 / 3e8) < 1e-9
 
 
