@@ -170,3 +170,36 @@ def flat_mimo_matrix(key: jax.Array, num_rx: int, num_tx: int,
     """iid CN(0,1) flat MIMO link matrix H[..., rx, tx]
     (/root/reference/core/channel.py:471-477)."""
     return _cn01(key, batch_shape + (num_rx, num_tx))
+
+
+def impulse_response(key: jax.Array, profile: MultipathProfile):
+    """One instantaneous complex tap per path: (delays_samples, taps C)
+    (/root/reference/core/rayleighchannel.py:95-109)."""
+    taps = jakes_taps(key, profile, 1, ())            # (num_taps, 1)
+    g = jnp.asarray(profile.gains_linear, jnp.float32)
+    return (np.asarray(profile.delays_samples),
+            C(taps.re[:, 0] * g, taps.im[:, 0] * g))
+
+
+def frequency_response(taps: C, profile: MultipathProfile,
+                       freqs_hz: jnp.ndarray) -> C:
+    """Analytic H(f) = Σ h_i·exp(-2πi·f·τ_i) for given instantaneous taps
+    (/root/reference/core/rayleighchannel.py:76-92). taps: C (num_taps,)."""
+    tau = jnp.asarray(profile.delays_samples, jnp.float32) / profile.fs
+    phase = -2.0 * np.pi * freqs_hz[..., None] * tau      # (..., taps)
+    e = cplx.expi(phase)
+    t = C(taps.re, taps.im)
+    return (C(t.re, t.im) * e).sum(axis=-1)
+
+
+def path_loss_linear(key: jax.Array, distance_m, frequency_hz=2e9,
+                     pl0_db: float = 30.0, exponent: float = 3.5,
+                     shadowing_sigma_db: float = 4.0, d0: float = 100.0):
+    """Log-distance path loss + log-normal shadowing, as a linear amplitude
+    factor (/root/reference/core/rayleighchannel.py:60-74):
+        PL(dB) = PL0 + 10·n·log10(d/d0) + N(0, σ);  return 10^(-PL/20).
+    """
+    d = jnp.asarray(distance_m, jnp.float32)
+    pl_db = pl0_db + 10.0 * exponent * jnp.log10(d / d0)
+    shadow = jax.random.normal(key, jnp.shape(d)) * shadowing_sigma_db
+    return 10.0 ** (-(pl_db + shadow) / 20.0)

@@ -35,6 +35,52 @@ from ..config import LTEConfig
 from ..sim import siso
 
 
+def _bits_per_frame(config, num_ofdm_symbols, mode, pipeline):
+    if pipeline in ("siso", "simo"):
+        return siso.bits_per_frame(config, num_ofdm_symbols, mode)
+    if pipeline == "sfbc":
+        from ..sim import diversity
+        return diversity.sfbc_bits_per_frame(config, num_ofdm_symbols)
+    if pipeline == "spatial":
+        from ..sim import spatial
+        return spatial.bits_per_frame(config, num_ofdm_symbols)
+    raise ValueError(f"unknown pipeline {pipeline}")
+
+
+def _run_pipeline(k, b, snr, config, mode, channel_type, itu_profile,
+                  velocity_kmh, pipeline, num_tx, num_rx):
+    """Returns (bit_errors, papr_db) for one Monte-Carlo lane."""
+    if pipeline == "siso":
+        r = siso.simulate_siso(k, b, snr, config, mode=mode,
+                               channel_type=channel_type,
+                               itu_profile=itu_profile,
+                               velocity_kmh=velocity_kmh)
+        return r.bit_errors, r.papr_db
+    if pipeline == "simo":
+        from ..sim import diversity
+        r = diversity.simulate_simo(k, b, snr, config, num_rx=num_rx,
+                                    channel_type=channel_type,
+                                    itu_profile=itu_profile,
+                                    velocity_kmh=velocity_kmh)
+        return r.bit_errors, r.papr_db
+    if pipeline == "sfbc":
+        from ..sim import diversity
+        r = diversity.simulate_sfbc(k, b, snr, config, num_rx=num_rx,
+                                    channel_type=channel_type,
+                                    itu_profile=itu_profile,
+                                    velocity_kmh=velocity_kmh)
+        return r.bit_errors, r.papr_db
+    if pipeline == "spatial":
+        from ..sim import spatial
+        r = spatial.simulate_spatial_multiplexing(
+            k, b, snr, config, num_tx=num_tx, num_rx=num_rx,
+            rank=min(num_tx, num_rx), detector_type="MMSE",
+            channel_type=channel_type, itu_profile=itu_profile,
+            velocity_kmh=velocity_kmh or 3.0)
+        return r.bit_errors, jnp.zeros_like(r.ber)
+    raise ValueError(f"unknown pipeline {pipeline}")
+
+
 class SweepResult(NamedTuple):
     snr_db: jnp.ndarray        # (S,)
     ber: jnp.ndarray           # (S,)
@@ -53,19 +99,23 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
               frames_per_device: int = 8, num_ofdm_symbols: int = 28,
               mesh: Mesh = None, mode: str = "lte",
               channel_type: str = "awgn", itu_profile: str = "Pedestrian_A",
-              velocity_kmh: float = None) -> SweepResult:
+              velocity_kmh: float = None, pipeline: str = "siso",
+              num_tx: int = 2, num_rx: int = 2) -> SweepResult:
     """Run a full BER sweep: (num_devices · frames_per_device) frames per SNR
     point, error counts psum-reduced across the mesh.
 
-    Replaces OFDMSimulator.run_ber_sweep (ofdm_core.py:1795-1846) and the
-    legacy OFDMSystem sweeps (ofdm_system.py:432-602).
+    pipeline: "siso" (default), "simo", "sfbc" or "spatial" — the full
+    TX→channel→RX chain of the corresponding sim module runs inside the
+    sharded program. Replaces OFDMSimulator.run_ber_sweep
+    (ofdm_core.py:1795-1846) and the legacy OFDMSystem sweeps
+    (ofdm_system.py:432-602).
     """
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
     snr_points = jnp.asarray(snr_points, jnp.float32)
     S = snr_points.shape[0]
-    n_bits = siso.bits_per_frame(config, num_ofdm_symbols, mode)
+    n_bits = _bits_per_frame(config, num_ofdm_symbols, mode, pipeline)
     F = frames_per_device
 
     def per_device(key, snrs):
@@ -76,10 +126,10 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
         keys = jax.random.split(kc, S * F).reshape(S, F, 2)
 
         def one_lane(k, b, snr):
-            r = siso.simulate_siso(
-                k, b, snr, config, mode=mode, channel_type=channel_type,
-                itu_profile=itu_profile, velocity_kmh=velocity_kmh)
-            return r.bit_errors, r.papr_db
+            r = _run_pipeline(k, b, snr, config, mode, channel_type,
+                              itu_profile, velocity_kmh, pipeline,
+                              num_tx, num_rx)
+            return r
 
         errs, paprs = jax.vmap(
             lambda ks, bs, snr: jax.vmap(

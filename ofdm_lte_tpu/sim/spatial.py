@@ -148,7 +148,11 @@ def simulate_spatial_multiplexing(key, bits, snr_db, config: LTEConfig = None,
     """Public entry matching the reference signature (ofdm_core.py:2489)."""
     if config is None:
         config = LTEConfig(modulation=modulation or "64-QAM")
-    snr_static = float(np.asarray(snr_db).mean())
+    if rank == "adaptive":
+        # rank decision needs a concrete SNR (shapes depend on it)
+        snr_static = float(np.asarray(snr_db).mean())
+    else:
+        snr_static = 0.0   # unused for fixed rank (W = codebook PMI 0)
     rank_used, _pmi, W = decide_rank_pmi(num_tx, num_rx, snr_static, rank,
                                          seed)
     return _simulate_spatial_jit(

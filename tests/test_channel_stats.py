@@ -104,3 +104,46 @@ def test_cross_link_correlation_matches_jakes_model():
     off = corr[np.triu_indices(16, 1)]
     assert np.max(off) < 0.85, np.max(off)
     assert np.mean(off) < 0.45, np.mean(off)
+
+
+def test_impulse_and_frequency_response():
+    import jax.numpy as jnp
+    from ofdm_lte_tpu.channel.rayleigh import (impulse_response,
+                                               frequency_response)
+    prof = make_profile("Pedestrian_A", 7.68e6, velocity_kmh=3.0)
+    delays, taps = impulse_response(jax.random.PRNGKey(0), prof)
+    assert len(delays) == 4 and taps.shape == (4,)
+    H = frequency_response(taps, prof, jnp.linspace(0.0, 1e6, 64))
+    assert H.shape == (64,)
+    # at f=0: H = sum of taps
+    s = taps.sum()
+    np.testing.assert_allclose(
+        [float(H.re[0]), float(H.im[0])], [float(s.re), float(s.im)],
+        atol=1e-4)
+
+
+def test_path_loss():
+    from ofdm_lte_tpu.channel.rayleigh import path_loss_linear
+    import jax.numpy as jnp
+    a100 = np.mean([float(path_loss_linear(jax.random.PRNGKey(i), 100.0))
+                    for i in range(200)])
+    a1000 = np.mean([float(path_loss_linear(jax.random.PRNGKey(i), 1000.0))
+                     for i in range(200)])
+    assert a1000 < a100       # more loss with distance
+    # deterministic part: PL(100m)=30 dB -> amplitude ~10^-1.5 on average
+    assert 0.01 < a100 < 0.1
+
+
+def test_spatial_sweep_on_mesh():
+    """2x2 spatial multiplexing sharded over the virtual mesh."""
+    from ofdm_lte_tpu.parallel import sweep
+    cfg = make_cfg()
+    r = sweep.ber_sweep(jax.random.PRNGKey(0), cfg, [40.0],
+                        frames_per_device=1, num_ofdm_symbols=14,
+                        pipeline="spatial", num_tx=2, num_rx=2)
+    assert float(r.ber[0]) < 0.1
+
+
+def make_cfg():
+    from ofdm_lte_tpu import LTEConfig
+    return LTEConfig(bandwidth=1.25, modulation="QPSK")
