@@ -39,11 +39,29 @@ NUM_SYMBOLS = 14
 
 
 def _time_steps(fn, key, n_steps=20):
-    out = fn(key)                       # compile + warmup
+    """Steady-state per-step time with FORCED serialization.
+
+    fn(key) -> integer-reducible output. Steps are chained through a carry
+    (each step's key depends on the previous step's result) inside one
+    lax.scan, so the device cannot overlap them — the experimental backend
+    otherwise pipelines independent dispatches and a naive Python loop
+    over-reports throughput by 10-100x.
+    """
+    def body(carry, i):
+        k = jax.random.fold_in(key, i + carry)
+        out = fn(k)
+        total = sum(jnp.sum(o).astype(jnp.int32) for o in jax.tree.leaves(out))
+        return total, ()
+
+    @jax.jit
+    def run(key):
+        final, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_steps))
+        return final
+
+    out = run(key)                      # compile + warmup
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        out = fn(jax.random.fold_in(key, i))
+    out = run(jax.random.fold_in(key, 999))
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n_steps
 
@@ -83,6 +101,24 @@ def bench_spatial(cfg):
     return LANES / dt
 
 
+def bench_sweep_wall_clock(cfg):
+    """Wall-clock of a sharded Monte-Carlo BER sweep (5 SNR points x 8
+    frames x 14 symbols) — the 'BER-sweep wall-clock' workload of
+    BASELINE.json."""
+    from ofdm_lte_tpu.parallel import sweep
+
+    snrs = [5.0, 10.0, 15.0, 20.0, 25.0]
+    key = jax.random.PRNGKey(0)
+    r = sweep.ber_sweep(key, cfg, snrs, frames_per_device=8,
+                        num_ofdm_symbols=14)   # compile+warmup
+    jax.block_until_ready(r.ber)
+    t0 = time.perf_counter()
+    r = sweep.ber_sweep(jax.random.fold_in(key, 1), cfg, snrs,
+                        frames_per_device=8, num_ofdm_symbols=14)
+    jax.block_until_ready(r.ber)
+    return time.perf_counter() - t0, len(snrs) * 8
+
+
 def main():
     from ofdm_lte_tpu import LTEConfig
 
@@ -103,6 +139,16 @@ def main():
         }
     except Exception as e:  # never lose the headline to a secondary failure
         details["spatial_2x2_20MHz_64QAM"] = {"error": str(e)[:200]}
+
+    try:
+        dt, frames = bench_sweep_wall_clock(cfg)
+        details["ber_sweep_wall_clock"] = {
+            "seconds": round(dt, 3),
+            "snr_points": 5, "frames": frames,
+            "note": "sharded Monte-Carlo sweep, 20 MHz 64-QAM, 14-sym frames",
+        }
+    except Exception as e:
+        details["ber_sweep_wall_clock"] = {"error": str(e)[:200]}
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAILS.json"), "w") as f:

@@ -217,8 +217,6 @@ def _bcjr(llr_sys: jnp.ndarray, llr_par: jnp.ndarray,
     par_sign = jnp.asarray(1.0 - 2.0 * par_t, jnp.float32)
     in_sign = jnp.asarray(
         1.0 - 2.0 * np.arange(2, dtype=np.float32))          # (2,)
-    ps = jnp.asarray(ps_t)
-    pi = jnp.asarray(pi_t)
 
     lead = llr_sys.shape[:-1]
     Kp = llr_sys.shape[-1]

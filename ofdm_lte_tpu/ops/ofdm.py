@@ -179,6 +179,19 @@ def frame_stream(signal: C, config: LTEConfig) -> C:
              signal.im[..., :S * sps].reshape(lead + (S, sps)))
 
 
+def papr_per_symbol_db(signal: C, config: LTEConfig,
+                       include_cp: bool = True) -> jnp.ndarray:
+    """Per-OFDM-symbol PAPR, optionally excluding the cyclic prefix
+    (reference: OFDMSystem per-symbol + no-CP variants,
+    /root/reference/core/ofdm_system.py:80-230).
+
+    signal: (..., S·(N+cp)) -> (..., S)."""
+    framed = frame_stream(signal, config)
+    if not include_cp:
+        framed = framed[..., config.cp_length:]
+    return papr_db(framed, axis=-1)
+
+
 def papr_db(signal: C, axis=None) -> jnp.ndarray:
     """Peak-to-average power ratio in dB
     (/root/reference/core/ofdm_core.py:114-155)."""

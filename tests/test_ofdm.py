@@ -84,3 +84,17 @@ def test_papr():
     papr = float(ofdm.papr_db(sig))
     p = np.abs([1, 1, 2, 1]) ** 2.0
     assert np.isclose(papr, 10 * np.log10(p.max() / p.mean()), atol=1e-5)
+
+
+def test_papr_per_symbol_no_cp(rng):
+    from ofdm_lte_tpu import cplx as _cplx
+    cfg = LTEConfig(bandwidth=1.25)
+    sps = cfg.samples_per_ofdm_symbol
+    sig = _cplx.from_numpy(rng.standard_normal(3 * sps)
+                           + 1j * rng.standard_normal(3 * sps))
+    p_cp = ofdm.papr_per_symbol_db(sig, cfg, include_cp=True)
+    p_nocp = ofdm.papr_per_symbol_db(sig, cfg, include_cp=False)
+    assert p_cp.shape == p_nocp.shape == (3,)
+    # no-CP window is a subset: its peak can only drop, its mean shifts;
+    # both stay finite and positive for noise-like signals
+    assert np.all(np.asarray(p_cp) > 0) and np.all(np.asarray(p_nocp) > 0)
