@@ -95,6 +95,25 @@ def cmd_run(args):
     out["wall_time_s"] = round(dt, 3)
     print(json.dumps(out, indent=2, default=float))
 
+    if args.constellation and "symbols_rx" in r:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        syms = np.asarray(r["symbols_rx"]).ravel()[:4000]
+        fig, ax = plt.subplots(figsize=(5, 5))
+        ax.scatter(syms.real, syms.imag, s=2, alpha=0.4)
+        from .ops.qam import constellation as qconst
+        ideal = qconst(args.modulation)
+        ax.scatter(ideal.real, ideal.imag, s=36, marker="x", color="red")
+        ax.set_xlabel("I")
+        ax.set_ylabel("Q")
+        ax.set_title(f"{args.modulation} @ {args.snr} dB")
+        ax.grid(alpha=0.3)
+        ax.set_aspect("equal")
+        fig.savefig(args.constellation, dpi=110)
+        print(f"# constellation saved to {args.constellation}",
+              file=sys.stderr)
+
 
 def cmd_sweep(args):
     import jax
@@ -241,6 +260,8 @@ def build_parser():
     antennas(sp)
     sp.add_argument("--snr", type=float, default=10.0)
     sp.add_argument("--num-bits", type=int, default=100000, dest="num_bits")
+    sp.add_argument("--constellation", default=None,
+                    help="save RX constellation scatter PNG (siso pipeline)")
     sp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("sweep", help="sharded BER-vs-SNR sweep")
