@@ -31,8 +31,11 @@ try:
 except Exception:
     pass
 
-REF_SISO_FPS = 3.581
-REF_SPATIAL_FPS = 1.472
+REF_SISO_FPS = 3.581       # 20 MHz 64-QAM AWGN
+REF_SPATIAL_FPS = 1.472    # 20 MHz 64-QAM 2x2 rank-2 MMSE
+REF_SCFDM_FPS = 17.604     # 5 MHz 16-QAM SC-FDM AWGN
+REF_SIMO_FPS = 8.798       # 5 MHz QPSK 1x4 Rayleigh Ped-A
+# (the reference's 2x1 Alamouti path crashes as-shipped — no denominator)
 
 LANES = 64
 NUM_SYMBOLS = 14
@@ -101,6 +104,68 @@ def bench_spatial(cfg):
     return LANES / dt
 
 
+def bench_scfdm():
+    """BASELINE.json config #2: SISO uplink SC-FDM, 16-QAM, 5 MHz, AWGN."""
+    from ofdm_lte_tpu import LTEConfig
+    from ofdm_lte_tpu.sim import siso
+
+    cfg = LTEConfig(bandwidth=5.0, modulation="16-QAM")
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(rng.integers(
+        0, 2, (LANES, siso.bits_per_frame(cfg, NUM_SYMBOLS, "sc-fdm"))
+    ).astype(np.int32))
+    snr = jnp.full((LANES,), 15.0, jnp.float32)
+
+    def step(key):
+        r = siso.simulate_siso(key, bits, snr, cfg, mode="sc-fdm")
+        return r.bit_errors
+
+    return LANES / _time_steps(step, jax.random.PRNGKey(0))
+
+
+def bench_simo():
+    """BASELINE.json config #3: SIMO 1x4 MRC, QPSK, Rayleigh Ped-A."""
+    from ofdm_lte_tpu import LTEConfig
+    from ofdm_lte_tpu.sim import siso, diversity
+
+    cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(rng.integers(
+        0, 2, (LANES, siso.bits_per_frame(cfg, NUM_SYMBOLS))).astype(np.int32))
+    snr = jnp.full((LANES,), 10.0, jnp.float32)
+
+    def step(key):
+        r = diversity.simulate_simo(key, bits, snr, cfg, num_rx=4,
+                                    channel_type="rayleigh_mp",
+                                    itu_profile="Pedestrian_A",
+                                    velocity_kmh=3.0)
+        return r.bit_errors
+
+    return LANES / _time_steps(step, jax.random.PRNGKey(0), n_steps=10)
+
+
+def bench_sfbc():
+    """BASELINE.json config #4: 2x1 Alamouti SFBC, 16-QAM, 10 MHz Rayleigh."""
+    from ofdm_lte_tpu import LTEConfig
+    from ofdm_lte_tpu.sim import diversity
+
+    cfg = LTEConfig(bandwidth=10.0, modulation="16-QAM")
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(rng.integers(
+        0, 2, (LANES, diversity.sfbc_bits_per_frame(cfg, NUM_SYMBOLS))
+    ).astype(np.int32))
+    snr = jnp.full((LANES,), 15.0, jnp.float32)
+
+    def step(key):
+        r = diversity.simulate_sfbc(key, bits, snr, cfg, num_rx=1,
+                                    channel_type="rayleigh_mp",
+                                    itu_profile="Pedestrian_A",
+                                    velocity_kmh=3.0)
+        return r.bit_errors
+
+    return LANES / _time_steps(step, jax.random.PRNGKey(0), n_steps=10)
+
+
 def bench_sweep_wall_clock(cfg):
     """Wall-clock of a sharded Monte-Carlo BER sweep (5 SNR points x 8
     frames x 14 symbols) — the 'BER-sweep wall-clock' workload of
@@ -139,6 +204,22 @@ def main():
         }
     except Exception as e:  # never lose the headline to a secondary failure
         details["spatial_2x2_20MHz_64QAM"] = {"error": str(e)[:200]}
+
+    for name, fn, ref in [
+        ("scfdm_siso_5MHz_16QAM", bench_scfdm, REF_SCFDM_FPS),
+        ("simo_1x4_rayleigh_5MHz_QPSK", bench_simo, REF_SIMO_FPS),
+        ("sfbc_2x1_rayleigh_10MHz_16QAM", bench_sfbc, None),
+    ]:
+        try:
+            fps = fn()
+            entry = {"frames_per_s": round(fps, 2)}
+            if ref:
+                entry["vs_reference_cpu"] = round(fps / ref, 2)
+            else:
+                entry["note"] = "reference path crashes as-shipped; no denominator"
+            details[name] = entry
+        except Exception as e:
+            details[name] = {"error": str(e)[:200]}
 
     try:
         dt, frames = bench_sweep_wall_clock(cfg)

@@ -119,8 +119,10 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
     F = frames_per_device
 
     def per_device(key, snrs):
-        # distinct stream per device
-        key = jax.random.fold_in(key[0], jax.lax.axis_index(axis))
+        # distinct stream per device, derived from a REPLICATED base key —
+        # multi-process safe (no host-side key sharding needed; decorrelation
+        # comes from the device's global mesh index)
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         kb, kc = jax.random.split(key)
         bits = jax.random.bernoulli(kb, 0.5, (S, F, n_bits)).astype(jnp.int32)
         keys = jax.random.split(kc, S * F).reshape(S, F, 2)
@@ -142,11 +144,10 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
 
     sharded = shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(axis), P()),
+        in_specs=(P(), P()),
         out_specs=(P(), P()),
     )
-    keys = jax.random.split(key, len(mesh.devices.flat))
-    errors, papr = jax.jit(sharded)(keys, snr_points)
+    errors, papr = jax.jit(sharded)(key, snr_points)
 
     total = jnp.full((S,), n_bits * F * len(mesh.devices.flat), jnp.int64
                      if jax.config.jax_enable_x64 else jnp.int32)
