@@ -121,14 +121,18 @@ def cmd_sweep(args):
 
     cfg = _mk_config(args)
     snrs = np.arange(args.snr_min, args.snr_max + 1e-9, args.snr_step)
+    pipeline = getattr(args, "pipeline", "siso")
+    workload = (f"{pipeline}/{cfg.modulation}/{cfg.bandwidth}/"
+                f"{args.num_tx}x{args.num_rx}/{args.channel}")
 
     state = {"snr_db": list(map(float, snrs)), "errors": [0] * len(snrs),
              "total": [0] * len(snrs), "papr_db": [0.0] * len(snrs),
-             "rounds": 0}
+             "rounds": 0, "workload": workload}
     if args.checkpoint and os.path.exists(args.checkpoint):
         with open(args.checkpoint) as f:
             prev = json.load(f)
-        if prev.get("snr_db") == state["snr_db"]:
+        if (prev.get("snr_db") == state["snr_db"]
+                and prev.get("workload", workload) == workload):
             state = prev
             print(f"# resumed from {args.checkpoint} "
                   f"({state['rounds']} rounds done)", file=sys.stderr)
@@ -141,6 +145,8 @@ def cmd_sweep(args):
                              channel_type=args.channel,
                              itu_profile=args.itu_profile,
                              velocity_kmh=args.velocity,
+                             pipeline=pipeline,
+                             num_tx=args.num_tx, num_rx=args.num_rx,
                              mode="sc-fdm" if args.sc_fdm else "lte")
         for i in range(len(snrs)):
             state["errors"][i] += int(r.bit_errors[i])
@@ -167,6 +173,65 @@ def cmd_sweep(args):
         ax.set_ylabel("BER")
         ax.grid(True, which="both", alpha=0.4)
         ax.set_title(f"{cfg.modulation} {cfg.bandwidth} MHz {args.channel}")
+        fig.savefig(args.plot, dpi=110)
+        print(f"# plot saved to {args.plot}", file=sys.stderr)
+
+
+def cmd_fullsweep(args):
+    """The SIMO GUI's canonical 'full sweep' workload, headless:
+    {QPSK, 16-QAM, 64-QAM} x {1, 2, 4, 8} RX x SNR range x iterations
+    (/root/reference/SIMO/gui/main_window.py:128-273 — the BER-sweep
+    wall-clock workload named in BASELINE.json). Each (modulation, num_rx)
+    cell runs as ONE sharded Monte-Carlo program; rx=1 uses the SISO
+    pipeline, rx>1 SIMO with MRC, exactly as the GUI dispatches."""
+    import jax
+    from .parallel import sweep as psweep
+    from .config import LTEConfig
+
+    snrs = np.arange(args.snr_min, args.snr_max + 1e-9, args.snr_step)
+    mods = args.modulations.split(",")
+    rx_list = [int(x) for x in args.rx_list.split(",")]
+    key = jax.random.PRNGKey(args.seed)
+
+    t0 = time.perf_counter()
+    curves = {}
+    for mi, mod in enumerate(mods):
+        cfg = LTEConfig(bandwidth=args.bandwidth, modulation=mod,
+                        cp_type=args.cp_type)
+        for num_rx in rx_list:
+            k = jax.random.fold_in(key, mi * 1000 + num_rx)
+            r = psweep.ber_sweep(
+                k, cfg, snrs,
+                frames_per_device=args.iterations,
+                num_ofdm_symbols=args.num_symbols,
+                channel_type=args.channel, itu_profile=args.itu_profile,
+                velocity_kmh=args.velocity,
+                pipeline="siso" if num_rx == 1 else "simo",
+                num_rx=num_rx)
+            curves[f"{mod}/{num_rx}rx"] = {
+                "snr_db": [float(s) for s in snrs],
+                "ber": [float(b) for b in np.asarray(r.ber)],
+                "total_bits": [int(t) for t in np.asarray(r.total_bits)],
+            }
+    dt = time.perf_counter() - t0
+    out = {"curves": curves, "wall_time_s": round(dt, 3),
+           "cells": len(curves), "snr_points": len(snrs),
+           "frames_per_point": args.iterations * len(jax.devices())}
+    print(json.dumps(out, indent=2))
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(7, 5))
+        for label, c in curves.items():
+            ax.semilogy(c["snr_db"], np.maximum(c["ber"], 1e-8),
+                        "o-", label=label, markersize=3)
+        ax.set_xlabel("SNR (dB)")
+        ax.set_ylabel("BER")
+        ax.grid(True, which="both", alpha=0.4)
+        ax.legend(fontsize=7, ncol=len(mods))
+        ax.set_title(f"full sweep, {args.bandwidth} MHz, {args.channel}")
         fig.savefig(args.plot, dpi=110)
         print(f"# plot saved to {args.plot}", file=sys.stderr)
 
@@ -276,7 +341,26 @@ def build_parser():
     sp.add_argument("--plot", default=None, help="save BER curve PNG")
     sp.add_argument("--checkpoint", default=None,
                     help="JSON file to accumulate/resume sweep state")
+    sp.add_argument("--pipeline", default="siso",
+                    choices=["siso", "simo", "sfbc", "spatial"])
+    sp.add_argument("--num-tx", type=int, default=2, dest="num_tx")
+    sp.add_argument("--num-rx", type=int, default=2, dest="num_rx")
     sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser(
+        "fullsweep",
+        help="SIMO-GUI canonical sweep: mods x RX counts x SNR")
+    common(sp)
+    sp.add_argument("--snr-min", type=float, default=0.0, dest="snr_min")
+    sp.add_argument("--snr-max", type=float, default=20.0, dest="snr_max")
+    sp.add_argument("--snr-step", type=float, default=2.0, dest="snr_step")
+    sp.add_argument("--modulations", default="QPSK,16-QAM,64-QAM")
+    sp.add_argument("--rx-list", default="1,2,4,8", dest="rx_list")
+    sp.add_argument("--iterations", type=int, default=4,
+                    help="Monte-Carlo frames per device per SNR point")
+    sp.add_argument("--num-symbols", type=int, default=28, dest="num_symbols")
+    sp.add_argument("--plot", default=None, help="save multi-curve BER PNG")
+    sp.set_defaults(fn=cmd_fullsweep)
 
     sp = sub.add_parser("image", help="image round-trip through a pipeline")
     common(sp)

@@ -66,3 +66,27 @@ def generate_feedback(H: C, num_tx: int, noise_variance=1.0,
     ri = rank_indicator(H)
     W = cb.precoder_for_pmi(pmi, num_tx, codebook_type, rank=1)
     return Feedback(pmi, cqi, ri, sinr_db, W)
+
+
+def pmi_statistics(pmi_history, num_tx: int,
+                   codebook_type: str = "TM6") -> dict:
+    """Aggregate PMI-usage statistics over a feedback history
+    (csi_feedback.py:192-206). In the reference the history is accumulated
+    by a stateful object across calls; here it is any array of PMI values
+    (e.g. the `pmi` field over Monte-Carlo lanes or feedback rounds).
+
+    Returns {total_feedbacks, unique_pmis, most_common_pmi,
+    pmi_distribution} — `most_common_pmi` breaks ties toward the lower
+    index, matching `max(set(...), key=list.count)` on sorted uniques.
+    """
+    hist = np.asarray(pmi_history).ravel().astype(np.int64)
+    size = cb.codebook_size(num_tx, codebook_type, rank=1)
+    if hist.size == 0:
+        return None
+    dist = np.bincount(hist, minlength=size)
+    return {
+        "total_feedbacks": int(hist.size),
+        "unique_pmis": int(np.count_nonzero(dist)),
+        "most_common_pmi": int(np.argmax(dist)),
+        "pmi_distribution": dist,
+    }

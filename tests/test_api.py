@@ -149,3 +149,29 @@ def test_cli_sweep_checkpoint(tmp_path, capsys):
     main(args)
     r2 = json.loads(capsys.readouterr().out)
     assert r2["total_bits"][0] == 2 * r1["total_bits"][0]  # accumulated
+
+
+def test_cli_sweep_pipeline_simo(tmp_path, capsys):
+    from ofdm_lte_tpu.cli import main
+    main(["sweep", "--snr-min", "30", "--snr-max", "30", "--snr-step", "1",
+          "--frames", "1", "--num-symbols", "14", "--bandwidth", "1.25",
+          "--pipeline", "simo", "--num-rx", "2"])
+    r = json.loads(capsys.readouterr().out)
+    assert r["ber"][0] < 0.01
+
+
+def test_cli_fullsweep(tmp_path, capsys):
+    # the SIMO GUI's canonical workload, shrunk (main_window.py:128-273)
+    from ofdm_lte_tpu.cli import main
+    plot = str(tmp_path / "curves.png")
+    main(["fullsweep", "--bandwidth", "1.25", "--modulations", "QPSK",
+          "--rx-list", "1,2", "--snr-min", "0", "--snr-max", "8",
+          "--snr-step", "8", "--iterations", "1", "--num-symbols", "14",
+          "--plot", plot])
+    r = json.loads(capsys.readouterr().out)
+    assert set(r["curves"]) == {"QPSK/1rx", "QPSK/2rx"}
+    for c in r["curves"].values():
+        assert len(c["ber"]) == 2
+        assert c["ber"][1] <= c["ber"][0]  # BER falls with SNR
+    import os
+    assert os.path.exists(plot)

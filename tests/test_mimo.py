@@ -184,3 +184,27 @@ def test_rank_adaptation_matches_reference(rng):
                 assert np.isclose(cap(W), cap(W_ref), rtol=1e-9)
             else:
                 np.testing.assert_allclose(W, W_ref, atol=1e-12)
+
+
+def test_pmi_statistics_matches_reference_semantics():
+    # reference: CSIFeedback.get_statistics (csi_feedback.py:192-206)
+    hist = [0, 2, 2, 3, 2, 0]
+    s = csi.pmi_statistics(hist, num_tx=2, codebook_type="TM6")
+    assert s["total_feedbacks"] == 6
+    assert s["unique_pmis"] == 3
+    assert s["most_common_pmi"] == 2
+    assert list(s["pmi_distribution"]) == [2, 0, 3, 1]   # size-4 TM6 2TX
+    assert csi.pmi_statistics([], num_tx=2) is None
+
+
+def test_pmi_statistics_from_simulation(rng):
+    from ofdm_lte_tpu.sim import beamforming as bsim
+    from ofdm_lte_tpu import LTEConfig
+    cfg = LTEConfig(bandwidth=1.25, modulation="QPSK")
+    n = bsim.bits_per_frame(cfg, 2)
+    bits = jnp.asarray(rng.integers(0, 2, (8, n)).astype(np.int32))
+    r = bsim.simulate_beamforming(jax.random.PRNGKey(3), bits, 20.0, cfg,
+                                  num_tx=2, num_rx=1, update_mode="static")
+    s = csi.pmi_statistics(r.pmi, num_tx=2)
+    assert s["total_feedbacks"] == 8
+    assert s["pmi_distribution"].sum() == 8
