@@ -35,54 +35,100 @@ REF_SISO_FPS = 3.581       # 20 MHz 64-QAM AWGN
 REF_SPATIAL_FPS = 1.472    # 20 MHz 64-QAM 2x2 rank-2 MMSE
 REF_SCFDM_FPS = 17.604     # 5 MHz 16-QAM SC-FDM AWGN
 REF_SIMO_FPS = 8.798       # 5 MHz QPSK 1x4 Rayleigh Ped-A
+REF_CODED_TBPS = 0.147     # 6000-bit TB, QPSK 5 MHz @5 dB, 8 iterations
 # (the reference's 2x1 Alamouti path crashes as-shipped — no denominator)
 
 LANES = 64
 NUM_SYMBOLS = 14
 
 
+N_COMPILE_ROLLS = 3
+
+
 def _time_steps(fn, key, n_steps=20):
-    """Steady-state per-step time with FORCED serialization.
+    """Steady-state per-step time with FORCED serialization, best of
+    N_COMPILE_ROLLS independent compiles.
 
     fn(key) -> integer-reducible output. Steps are chained through a carry
     (each step's key depends on the previous step's result) inside one
     lax.scan, so the device cannot overlap them — the experimental backend
     otherwise pipelines independent dispatches and a naive Python loop
     over-reports throughput by 10-100x.
+
+    The remote-compile service emits binaries of WILDLY variable quality:
+    the same SISO program measured 110 vs 33,555 frames/s across compiles
+    (2026-08-18) — including WRONG-but-fast binaries (a spatial roll ran
+    260x faster than its siblings). Each roll here uses a different scan
+    length, which changes the program hash, forcing an independent
+    compilation; every roll also emits the per-step integer checksums, and
+    only rolls whose common-prefix checksums agree with the majority are
+    eligible — the best agreeing binary defines the hardware number.
     """
-    def body(carry, i):
-        k = jax.random.fold_in(key, i + carry)
-        out = fn(k)
-        total = sum(jnp.sum(o).astype(jnp.int32) for o in jax.tree.leaves(out))
-        return total, ()
+    def make_run(steps):
+        def body(carry, i):
+            k = jax.random.fold_in(key, i + carry)
+            out = fn(k)
+            total = sum(jnp.sum(o).astype(jnp.int32)
+                        for o in jax.tree.leaves(out))
+            return total, total
 
-    @jax.jit
-    def run(key):
-        final, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_steps))
-        return final
+        @jax.jit
+        def run(key):
+            final, ys = jax.lax.scan(body, jnp.int32(0), jnp.arange(steps))
+            return final, ys
+        return run
 
-    out = run(key)                      # compile + warmup
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(jax.random.fold_in(key, 999))
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n_steps
+    timing_key = jax.random.fold_in(key, 999)
+    rolls = []   # (dt, signature tuple)
+    for roll in range(N_COMPILE_ROLLS):
+        steps = n_steps + roll          # distinct program hash per roll
+        run = make_run(steps)
+        out = run(key)                  # compile + warmup
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        final, ys = run(timing_key)
+        jax.block_until_ready(final)
+        dt = (time.perf_counter() - t0) / steps
+        # same timing_key + same carry recursion => the first n_steps
+        # checksums must agree across correct binaries (up to reduction-
+        # order jitter in the float->int bit decisions)
+        sig = np.asarray(ys)[:n_steps].astype(np.float64)
+        print(f"#   roll {roll}: {dt * 1e3:.2f} ms/step "
+              f"sig0={sig[0]:.0f}", file=sys.stderr)
+        rolls.append((dt, sig))
+
+    def agree(a, b):
+        return np.allclose(a, b, rtol=2e-3, atol=2.0)
+
+    n = len(rolls)
+    peers = [sum(agree(rolls[i][1], rolls[j][1]) for j in range(n))
+             for i in range(n)]   # incl. self
+    best_peers = max(peers)
+    if best_peers == 1:   # no two rolls agree: distrust speed, use median
+        print("#   WARNING: no checksum agreement across rolls; "
+              "taking median time", file=sys.stderr)
+        return sorted(dt for dt, _ in rolls)[n // 2]
+    eligible = [rolls[i][0] for i in range(n) if peers[i] == best_peers]
+    return min(eligible)
 
 
-def bench_siso(cfg):
+def bench_siso(cfg, snr_db=15.0):
     from ofdm_lte_tpu.sim import siso
 
     rng = np.random.default_rng(0)
+    n_bits = siso.bits_per_frame(cfg, NUM_SYMBOLS)
     bits = jnp.asarray(rng.integers(
-        0, 2, (LANES, siso.bits_per_frame(cfg, NUM_SYMBOLS))).astype(np.int32))
-    snr = jnp.full((LANES,), 15.0, jnp.float32)
+        0, 2, (LANES, n_bits)).astype(np.int32))
+    snr = jnp.full((LANES,), snr_db, jnp.float32)
 
     def step(key):
         r = siso.simulate_siso(key, bits, snr, cfg)
         return r.bit_errors, r.papr_db
 
     dt = _time_steps(step, jax.random.PRNGKey(0))
-    return LANES / dt
+    r = siso.simulate_siso(jax.random.PRNGKey(7), bits, snr, cfg)
+    ber = float(jnp.sum(r.bit_errors)) / (LANES * n_bits)
+    return LANES / dt, ber
 
 
 def bench_spatial(cfg):
@@ -166,6 +212,30 @@ def bench_sfbc():
     return LANES / _time_steps(step, jax.random.PRNGKey(0), n_steps=10)
 
 
+def bench_coded():
+    """Turbo-coded chain wall-clock: one 6000-bit transport block, QPSK
+    5 MHz AWGN @5 dB, 8 decoder iterations — the BASELINE.md coded workload
+    (reference NumPy: 6.8 s/TB on this machine's CPU). Host orchestration
+    syncs every call, so this is honest serialized wall-clock."""
+    from ofdm_lte_tpu import LTEConfig
+    from ofdm_lte_tpu.sim import coded
+
+    cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, 6000).astype(np.int32)
+    key = jax.random.PRNGKey(0)
+
+    r = coded.simulate_siso_coded(key, bits, 5.0, cfg)   # compile + warmup
+    assert r.crc_pass
+    n = 5
+    t0 = time.perf_counter()
+    for i in range(n):
+        r = coded.simulate_siso_coded(jax.random.fold_in(key, i), bits,
+                                      5.0, cfg)
+    dt = (time.perf_counter() - t0) / n
+    return 1.0 / dt, bool(r.crc_pass)
+
+
 def bench_sweep_wall_clock(cfg):
     """Wall-clock of a sharded Monte-Carlo BER sweep (5 SNR points x 8
     frames x 14 symbols) — the 'BER-sweep wall-clock' workload of
@@ -184,17 +254,57 @@ def bench_sweep_wall_clock(cfg):
     return time.perf_counter() - t0, len(snrs) * 8
 
 
+def _run_only_siso():
+    """Subprocess entry: bench the SISO headline alone and print one JSON
+    line — used by main() to measure the fast-precision mode in a fresh
+    process (the precision policy is baked in at trace time)."""
+    from ofdm_lte_tpu import LTEConfig
+    cfg = LTEConfig(bandwidth=20.0, modulation="64-QAM")
+    fps, ber = bench_siso(cfg)
+    print(json.dumps({"frames_per_s": round(fps, 2), "ber_at_15db": ber,
+                      "precision": os.environ.get(
+                          "OFDM_LTE_TPU_MATMUL_PRECISION", "highest")}))
+
+
+def _bench_fast_precision():
+    import subprocess
+    env = dict(os.environ, OFDM_LTE_TPU_MATMUL_PRECISION="default")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--only-siso"],
+        env=env, capture_output=True, text=True, timeout=1800)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main():
     from ofdm_lte_tpu import LTEConfig
 
     cfg = LTEConfig(bandwidth=20.0, modulation="64-QAM")
     details = {}
 
-    siso_fps = bench_siso(cfg)
+    siso_fps, siso_ber = bench_siso(cfg)
     details["siso_20MHz_64QAM"] = {
         "frames_per_s": round(siso_fps, 2),
         "vs_reference_cpu": round(siso_fps / REF_SISO_FPS, 2),
+        "ber_at_15db": siso_ber,
     }
+
+    try:
+        fast = _bench_fast_precision()
+        fast["vs_reference_cpu"] = round(
+            fast["frames_per_s"] / REF_SISO_FPS, 2)
+        fast["note"] = ("single-pass bf16 MXU matmuls "
+                        "(OFDM_LTE_TPU_MATMUL_PRECISION=default)")
+        details["siso_20MHz_64QAM_fast_precision"] = fast
+    except Exception as e:
+        details["siso_20MHz_64QAM_fast_precision"] = {"error": str(e)[:200]}
+    try:
+        from ofdm_lte_tpu.utils.profiling import roofline_report
+        rl = roofline_report(cfg, NUM_SYMBOLS, LANES,
+                             measured_step_s=LANES / siso_fps)
+        details["siso_roofline"] = {k: (round(v, 4) if isinstance(v, float)
+                                        else v) for k, v in rl.items()}
+    except Exception as e:
+        details["siso_roofline"] = {"error": str(e)[:200]}
 
     try:
         sp_fps = bench_spatial(cfg)
@@ -222,6 +332,17 @@ def main():
             details[name] = {"error": str(e)[:200]}
 
     try:
+        tb_per_s, crc_ok = bench_coded()
+        details["coded_5MHz_QPSK_6000bit_TB"] = {
+            "transport_blocks_per_s": round(tb_per_s, 3),
+            "vs_reference_cpu": round(tb_per_s / REF_CODED_TBPS, 1),
+            "crc_pass": crc_ok,
+            "note": "serialized wall-clock incl. host CRC/segmentation",
+        }
+    except Exception as e:
+        details["coded_5MHz_QPSK_6000bit_TB"] = {"error": str(e)[:200]}
+
+    try:
         dt, frames = bench_sweep_wall_clock(cfg)
         details["ber_sweep_wall_clock"] = {
             "seconds": round(dt, 3),
@@ -244,4 +365,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--only-siso" in sys.argv:
+        _run_only_siso()
+    else:
+        main()

@@ -35,7 +35,7 @@ from ..cplx import C
 from ..config import ITU_CHANNEL_MODELS, ITU_DEFAULT_VELOCITY_KMH, doppler_hz
 from .awgn import awgn
 
-_PREC = jax.lax.Precision.HIGHEST
+from ..precision import matmul_precision
 N_SINUSOIDS = 16
 
 
@@ -109,7 +109,7 @@ def jakes_taps(key: jax.Array, profile: MultipathProfile, num_samples: int,
     phi = jax.random.uniform(key, (ns, L), jnp.float32, 0.0, 2.0 * np.pi)
     P = cplx.expi(phi)                                        # (Ns, L)
 
-    H = cplx.matmul(E, P, precision=_PREC) * np.sqrt(2.0 / ns)  # (T, L)
+    H = cplx.matmul(E, P, precision=matmul_precision()) * np.sqrt(2.0 / ns)  # (T, L)
     H = C(H.re.T, H.im.T)                                     # (L, T)
     return H.reshape(batch_shape + (profile.num_taps, T))
 

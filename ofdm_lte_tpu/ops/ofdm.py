@@ -39,7 +39,7 @@ from ..cplx import C
 from ..config import LTEConfig
 from ..grid import grid_for, pilot_sequence
 
-_PREC = jax.lax.Precision.HIGHEST
+from ..precision import matmul_precision
 
 
 def _cmm(a: C, b: C) -> C:
@@ -48,7 +48,7 @@ def _cmm(a: C, b: C) -> C:
     from . import pallas_kernels
     if pallas_kernels.pallas_enabled():
         return pallas_kernels.cmatmul(a, b)
-    return cplx.matmul(a, b, precision=_PREC)
+    return cplx.matmul(a, b, precision=matmul_precision())
 
 
 @functools.lru_cache(maxsize=None)
@@ -141,7 +141,7 @@ def modulate_grid(grid: C, config: LTEConfig) -> C:
     N, cp = config.N, config.cp_length
     Fre, Fim = _full_idft_consts(N, cp)
     return cplx.matmul(grid, C(jnp.asarray(Fre), jnp.asarray(Fim)),
-                       precision=_PREC)
+                       precision=matmul_precision())
 
 
 @functools.lru_cache(maxsize=None)

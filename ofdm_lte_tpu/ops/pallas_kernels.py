@@ -53,9 +53,14 @@ def _cmatmul_kernel(ar_ref, ai_ref, br_ref, bi_ref, cr_ref, ci_ref):
     ci_ref[:] = ri + ir
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn"))
-def cmatmul_pallas_2d(a: C, b: C, bm: int = 128, bn: int = 128) -> C:
-    """Fused complex matmul for 2-D operands: (M, K) @ (K, N) -> (M, N)."""
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "interpret"))
+def cmatmul_pallas_2d(a: C, b: C, bm: int = 128, bn: int = 128,
+                      interpret: bool = False) -> C:
+    """Fused complex matmul for 2-D operands: (M, K) @ (K, N) -> (M, N).
+
+    interpret=True runs the kernel through the Pallas interpreter (any
+    backend) — used by the CPU test suite for numerical parity coverage.
+    """
     M, K = a.shape
     K2, N = b.shape
     assert K == K2
@@ -77,6 +82,7 @@ def cmatmul_pallas_2d(a: C, b: C, bm: int = 128, bn: int = 128) -> C:
         in_specs=[a_spec, a_spec, b_spec, b_spec],
         out_specs=(c_spec, c_spec),
         out_shape=out_shape,
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=8 * M * K * N,
             bytes_accessed=8 * (M * K + K * N + M * N),

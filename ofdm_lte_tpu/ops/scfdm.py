@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from .. import cplx
 from ..cplx import C
 
-_PREC = jax.lax.Precision.HIGHEST
+from ..precision import matmul_precision
 
 
 @functools.lru_cache(maxsize=None)
@@ -32,11 +32,11 @@ def precode(symbols: C, M: int) -> C:
     """Unitary M-point DFT along the last axis: (..., M) -> (..., M)."""
     Wre, Wim = _dft_consts(M, inverse=False)
     return cplx.matmul(symbols, C(jnp.asarray(Wre), jnp.asarray(Wim)),
-                       precision=_PREC)
+                       precision=matmul_precision())
 
 
 def decode(symbols: C, M: int) -> C:
     """Unitary M-point IDFT along the last axis (receiver side)."""
     Wre, Wim = _dft_consts(M, inverse=True)
     return cplx.matmul(symbols, C(jnp.asarray(Wre), jnp.asarray(Wim)),
-                       precision=_PREC)
+                       precision=matmul_precision())

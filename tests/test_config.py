@@ -43,3 +43,15 @@ def test_invalid_modulation():
 def test_hashable_static():
     assert hash(LTEConfig()) == hash(LTEConfig())
     assert LTEConfig() == LTEConfig(bandwidth=5.0)
+
+
+def test_matmul_precision_knob(monkeypatch):
+    import jax
+    from ofdm_lte_tpu.precision import matmul_precision
+    assert matmul_precision() == jax.lax.Precision.HIGHEST  # parity default
+    monkeypatch.setenv("OFDM_LTE_TPU_MATMUL_PRECISION", "default")
+    assert matmul_precision() == jax.lax.Precision.DEFAULT
+    monkeypatch.setenv("OFDM_LTE_TPU_MATMUL_PRECISION", "bogus")
+    import pytest
+    with pytest.raises(ValueError):
+        matmul_precision()
