@@ -12,9 +12,9 @@ MXU calls, halving HBM traffic for the A/B operands versus four independent
 matmuls (XLA usually cannot fuse across the four dots because each is a
 separate HLO with its own tiling choice).
 
-The kernel grid is (M/bm, N/bn) with the full K dimension resident per tile
-— for this workload K ≤ 2048 (the FFT size), so A-tiles of (bm, K) and
-B-tiles of (K, bn) fit comfortably in VMEM (≤ 2 MB each at f32).
+The kernel grid is (M/bm, N/bn, K/bk) with K innermost; partial products
+accumulate into the output tile across K steps (full-K residency blows the
+16 MB VMEM scope at batch=3584, K=2048 — measured on v5e).
 
 Used via ops.ofdm when OFDM_LTE_TPU_PALLAS=1 (or cmatmul(..., backend=
 "pallas")); numerically identical to the XLA path (same f32 MXU dots).
@@ -49,13 +49,19 @@ def _cmatmul_kernel(ar_ref, ai_ref, br_ref, bi_ref, cr_ref, ci_ref):
     ii = jnp.dot(ai, bi, preferred_element_type=f32, precision=prec)
     ri = jnp.dot(ar, bi, preferred_element_type=f32, precision=prec)
     ir = jnp.dot(ai, br, preferred_element_type=f32, precision=prec)
-    cr_ref[:] = rr - ii
-    ci_ref[:] = ri + ir
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        cr_ref[:] = jnp.zeros_like(cr_ref)
+        ci_ref[:] = jnp.zeros_like(ci_ref)
+
+    cr_ref[:] += rr - ii
+    ci_ref[:] += ri + ir
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "interpret"))
-def cmatmul_pallas_2d(a: C, b: C, bm: int = 128, bn: int = 128,
-                      interpret: bool = False) -> C:
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+def cmatmul_pallas_2d(a: C, b: C, bm: int = 256, bn: int = 256,
+                      bk: int = 512, interpret: bool = False) -> C:
     """Fused complex matmul for 2-D operands: (M, K) @ (K, N) -> (M, N).
 
     interpret=True runs the kernel through the Pallas interpreter (any
@@ -66,15 +72,16 @@ def cmatmul_pallas_2d(a: C, b: C, bm: int = 128, bn: int = 128,
     assert K == K2
     bm = min(bm, M)
     bn = min(bn, N)
+    bk = min(bk, K)
 
-    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn))
+    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), pl.cdiv(K, bk))
     out_shape = (
         jax.ShapeDtypeStruct((M, N), jnp.float32),
         jax.ShapeDtypeStruct((M, N), jnp.float32),
     )
-    a_spec = pl.BlockSpec((bm, K), lambda i, j: (i, 0))
-    b_spec = pl.BlockSpec((K, bn), lambda i, j: (0, j))
-    c_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j))
+    a_spec = pl.BlockSpec((bm, bk), lambda i, j, k: (i, k))
+    b_spec = pl.BlockSpec((bk, bn), lambda i, j, k: (k, j))
+    c_spec = pl.BlockSpec((bm, bn), lambda i, j, k: (i, j))
 
     cr, ci = pl.pallas_call(
         _cmatmul_kernel,
