@@ -7,9 +7,12 @@ NamedTuple of two float32 arrays (re, im). This is a JAX pytree, so it flows
 through jit / vmap / scan / shard_map unchanged, and every operation below maps
 onto VPU elementwise lanes or MXU matmuls.
 
-Complex matmul is expanded into real matmuls (the 4-multiply form — on the MXU
-the 3-multiply Karatsuba form saves nothing because the adds are not free and
-the extra dependency chain hurts fusion).
+Complex matmul is expanded into real matmuls. Two forms are provided: the
+straightforward 4-multiply form (`matmul`, the default — fully parallel dots,
+no extra elementwise traffic) and the 3-multiply Gauss/Karatsuba form
+(`matmul_gauss`, −25% MXU FLOPs at the cost of two operand adds and a longer
+dependency chain; selectable in the modem via OFDM_LTE_TPU_CMATMUL=gauss —
+see ops/ofdm._cmm and bench.py's backend comparison).
 
 This module replaces NumPy complex arrays used throughout the reference
 (e.g. /root/reference/core/modulator.py:78, core/channel.py:56-60).
@@ -163,6 +166,26 @@ def matmul(a: C, b: C, precision=None) -> C:
     ri = jnp.matmul(a.re, b.im, precision=precision, preferred_element_type=f32)
     ir = jnp.matmul(a.im, b.re, precision=precision, preferred_element_type=f32)
     return C(rr - ii, ri + ir)
+
+
+def matmul_gauss(a: C, b: C, precision=None) -> C:
+    """Complex matmul in the 3-multiply Gauss/Karatsuba form:
+
+        t1 = ar·br, t2 = ai·bi, t3 = (ar+ai)·(br+bi)
+        C  = (t1 − t2) + j·(t3 − t1 − t2)
+
+    One fewer MXU matmul than `matmul` (−25% FLOPs) in exchange for two
+    operand-sized adds and three result-sized adds on the VPU. Wins when the
+    matmul is MXU-bound (large K, HIGHEST-precision f32 passes); numerically
+    the imaginary part carries one extra rounding of magnitude ~|t1|+|t2|.
+    When `b` is a trace-time constant (the modem's DFT matrices), XLA
+    constant-folds br+bi so only the `a` add costs anything per call."""
+    f32 = jnp.float32
+    t1 = jnp.matmul(a.re, b.re, precision=precision, preferred_element_type=f32)
+    t2 = jnp.matmul(a.im, b.im, precision=precision, preferred_element_type=f32)
+    t3 = jnp.matmul(a.re + a.im, b.re + b.im, precision=precision,
+                    preferred_element_type=f32)
+    return C(t1 - t2, t3 - t1 - t2)
 
 
 def matmul_rc(a_real: jnp.ndarray, b: C, precision=None) -> C:

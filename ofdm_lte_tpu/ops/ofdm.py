@@ -43,11 +43,21 @@ from ..precision import matmul_precision
 
 
 def _cmm(a: C, b: C) -> C:
-    """Complex matmul for the modem: Pallas fused kernel when enabled
-    (OFDM_LTE_TPU_PALLAS=1), XLA 4-matmul expansion otherwise."""
+    """Complex matmul for the modem.
+
+    Backend selected by OFDM_LTE_TPU_CMATMUL ∈ {xla4 (default), gauss,
+    pallas, pallas_gauss}; the legacy OFDM_LTE_TPU_PALLAS=1 switch still
+    selects the Pallas kernel. `gauss` variants use the 3-multiply
+    Karatsuba form (−25% MXU FLOPs, see cplx.matmul_gauss)."""
+    import os
     from . import pallas_kernels
-    if pallas_kernels.pallas_enabled():
-        return pallas_kernels.cmatmul(a, b)
+    backend = os.environ.get("OFDM_LTE_TPU_CMATMUL", "").lower()
+    if not backend:
+        backend = "pallas" if pallas_kernels.pallas_enabled() else "xla4"
+    if backend in ("pallas", "pallas_gauss"):
+        return pallas_kernels.cmatmul(a, b, gauss=(backend == "pallas_gauss"))
+    if backend == "gauss":
+        return cplx.matmul_gauss(a, b, precision=matmul_precision())
     return cplx.matmul(a, b, precision=matmul_precision())
 
 

@@ -38,30 +38,43 @@ except ImportError:  # pragma: no cover
     HAVE_PALLAS = False
 
 
-def _cmatmul_kernel(ar_ref, ai_ref, br_ref, bi_ref, cr_ref, ci_ref):
+def _cmatmul_kernel(ar_ref, ai_ref, br_ref, bi_ref, cr_ref, ci_ref,
+                    *, gauss: bool = False):
     ar = ar_ref[:]
     ai = ai_ref[:]
     br = br_ref[:]
     bi = bi_ref[:]
     f32 = jnp.float32
     prec = jax.lax.Precision.HIGHEST   # true-f32 MXU passes (parity with XLA)
-    rr = jnp.dot(ar, br, preferred_element_type=f32, precision=prec)
-    ii = jnp.dot(ai, bi, preferred_element_type=f32, precision=prec)
-    ri = jnp.dot(ar, bi, preferred_element_type=f32, precision=prec)
-    ir = jnp.dot(ai, br, preferred_element_type=f32, precision=prec)
+    if gauss:
+        # 3-multiply Gauss form: operand adds happen on already-resident
+        # VMEM tiles (VPU), so this is a pure 25% MXU-FLOP cut per tile.
+        t1 = jnp.dot(ar, br, preferred_element_type=f32, precision=prec)
+        t2 = jnp.dot(ai, bi, preferred_element_type=f32, precision=prec)
+        t3 = jnp.dot(ar + ai, br + bi, preferred_element_type=f32,
+                     precision=prec)
+        dr, di = t1 - t2, t3 - t1 - t2
+    else:
+        rr = jnp.dot(ar, br, preferred_element_type=f32, precision=prec)
+        ii = jnp.dot(ai, bi, preferred_element_type=f32, precision=prec)
+        ri = jnp.dot(ar, bi, preferred_element_type=f32, precision=prec)
+        ir = jnp.dot(ai, br, preferred_element_type=f32, precision=prec)
+        dr, di = rr - ii, ri + ir
 
     @pl.when(pl.program_id(2) == 0)
     def _init():
         cr_ref[:] = jnp.zeros_like(cr_ref)
         ci_ref[:] = jnp.zeros_like(ci_ref)
 
-    cr_ref[:] += rr - ii
-    ci_ref[:] += ri + ir
+    cr_ref[:] += dr
+    ci_ref[:] += di
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret",
+                                              "gauss"))
 def cmatmul_pallas_2d(a: C, b: C, bm: int = 256, bn: int = 256,
-                      bk: int = 512, interpret: bool = False) -> C:
+                      bk: int = 512, interpret: bool = False,
+                      gauss: bool = False) -> C:
     """Fused complex matmul for 2-D operands: (M, K) @ (K, N) -> (M, N).
 
     interpret=True runs the kernel through the Pallas interpreter (any
@@ -84,14 +97,14 @@ def cmatmul_pallas_2d(a: C, b: C, bm: int = 256, bn: int = 256,
     c_spec = pl.BlockSpec((bm, bn), lambda i, j, k: (i, j))
 
     cr, ci = pl.pallas_call(
-        _cmatmul_kernel,
+        functools.partial(_cmatmul_kernel, gauss=gauss),
         grid=grid,
         in_specs=[a_spec, a_spec, b_spec, b_spec],
         out_specs=(c_spec, c_spec),
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=8 * M * K * N,
+            flops=(6 if gauss else 8) * M * K * N,
             bytes_accessed=8 * (M * K + K * N + M * N),
             transcendentals=0,
         ),
@@ -99,18 +112,19 @@ def cmatmul_pallas_2d(a: C, b: C, bm: int = 256, bn: int = 256,
     return C(cr, ci)
 
 
-def cmatmul(a: C, b: C) -> C:
+def cmatmul(a: C, b: C, gauss: bool = False) -> C:
     """Complex matmul with leading batch dims flattened into M.
 
     a: (..., M0, K), b: (K, N) — the modem's shape pattern (B is a constant
-    DFT matrix shared across the batch).
+    DFT matrix shared across the batch). gauss=True selects the 3-dot
+    Karatsuba kernel variant.
     """
     if not HAVE_PALLAS:
         return cplx.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
     lead = a.shape[:-1]
     K = a.shape[-1]
     a2 = a.reshape((-1, K))
-    out = cmatmul_pallas_2d(a2, b)
+    out = cmatmul_pallas_2d(a2, b, gauss=gauss)
     return out.reshape(lead + (b.shape[-1],))
 
 
