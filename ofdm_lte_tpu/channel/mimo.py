@@ -32,6 +32,32 @@ from .rayleigh import (MultipathProfile, apply_multipath, flat_mimo_matrix,
                        rayleigh_multipath)
 
 
+def _mix_links(H: C, signals_tx: C, num_rx: int) -> C:
+    """y[rx] = Σ_tx H[..., rx, tx] · x[tx] as static-loop VPU FMAs.
+
+    H: (rx, tx) constant or (lanes..., rx, tx); signals_tx: (tx, lanes..., T)
+    -> (rx, lanes..., T). An einsum here lowers to batched (rx×tx) matmuls
+    padded to MXU tiles; with rx, tx ≤ 8 the unrolled elementwise form fuses
+    into one VPU kernel with no padding and no materialized temporaries."""
+    num_tx = signals_tx.shape[0]
+    per_link_ndim = signals_tx.ndim - 1      # lanes... + T
+    ys = []
+    for r in range(num_rx):
+        acc_re, acc_im = 0.0, 0.0
+        for t in range(num_tx):
+            hre = H.re[..., r, t]
+            him = H.im[..., r, t]
+            if jnp.ndim(hre):                # per-lane H: append sample axis
+                hre = hre[..., None]
+                him = him[..., None]
+            xr, xi = signals_tx.re[t], signals_tx.im[t]
+            acc_re = acc_re + (hre * xr - him * xi)
+            acc_im = acc_im + (hre * xi + him * xr)
+        ys.append(C(jnp.broadcast_to(acc_re, signals_tx.shape[1:]),
+                    jnp.broadcast_to(acc_im, signals_tx.shape[1:])))
+    return cplx.stack(ys, axis=0)
+
+
 def _per_rx_noise(key, y: C, snr_db, power_scale: float = 1.0) -> C:
     """Add AWGN per RX leg: noise_power = power_scale·P_rx/snr, measured over
     the last axis per leading lane."""
@@ -77,8 +103,8 @@ def transmit_mimo(key, signals_tx: C, snr_db, num_rx: int, channel_type: str,
         phases = np.exp(1j * np.arange(num_tx) * np.pi / 2)      # (num_tx,)
         H = np.tile(phases[None, :], (num_rx, 1))
         Hc = cplx.const(H)
-        # y_rx = Σ_tx h[rx,tx]·x_tx : contract over tx axis
-        y = cplx.einsum("rt,t...->r...", Hc, signals_tx)
+        # y_rx = Σ_tx h[rx,tx]·x_tx : contract over tx axis (VPU FMAs)
+        y = _mix_links(Hc, signals_tx, num_rx)
     else:
         # independent multipath fading per (rx, tx) link, no noise yet
         def one_rx(k):
@@ -124,8 +150,8 @@ def transmit_spatial_multiplexing(key, signals_tx: C, snr_db, num_rx: int,
         H = cplx.cones(lanes + (num_rx, num_tx))
     else:
         H = flat_mimo_matrix(kf, num_rx, num_tx, lanes)           # (..., rx, tx)
-        # y[rx, ..., t] = Σ_tx H[..., rx, tx] · x[tx, ..., t]
-        y = cplx.einsum("...rt,t...s->r...s", H, signals_tx)
+        # y[rx, ..., t] = Σ_tx H[..., rx, tx] · x[tx, ..., t] (VPU FMAs)
+        y = _mix_links(H, signals_tx, num_rx)
 
     keys_n = jax.random.split(kn, num_rx)
     y = jax.vmap(lambda k, yr: _per_rx_noise(k, yr, snr_db, 1.0))(keys_n, y)

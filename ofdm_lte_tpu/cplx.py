@@ -202,6 +202,23 @@ def matmul_cr(a: C, b_real: jnp.ndarray, precision=None) -> C:
              jnp.matmul(a.im, b_real, precision=precision, preferred_element_type=f32))
 
 
+def matmul_small(a: C, b: C) -> C:
+    """Batched complex matmul for TINY matrices (contraction dim ≤ ~8) as a
+    VPU broadcast-multiply-sum instead of an MXU dot.
+
+    a (..., M, K) @ b (..., K, N) -> (..., M, N). The MIMO stack's per-
+    subcarrier matrices are 1x1..4x4 batched over millions of subcarriers;
+    lowering those through dot_general pads each operand to 128x128 MXU
+    tiles (>95% wasted lanes) and measured ~25x slower than the whole SISO
+    pipeline. Expanding the contraction as elementwise FMAs keeps the work
+    on the VPU at full lane utilization. Leading batch dims broadcast."""
+    ar, ai = a.re[..., :, :, None], a.im[..., :, :, None]   # (..., M, K, 1)
+    br, bi = b.re[..., None, :, :], b.im[..., None, :, :]   # (..., 1, K, N)
+    re = jnp.sum(ar * br - ai * bi, axis=-2)
+    im = jnp.sum(ar * bi + ai * br, axis=-2)
+    return C(re, im)
+
+
 def einsum(spec: str, a: C, b: C) -> C:
     rr = jnp.einsum(spec, a.re, b.re)
     ii = jnp.einsum(spec, a.im, b.im)

@@ -38,7 +38,7 @@ def eigen_weights(H: C) -> C:
     (xr, xi) pairs — the top one maps back to the complex eigenvector.
     """
     Hh = C(H.re.swapaxes(-1, -2), -H.im.swapaxes(-1, -2))
-    A = cplx.matmul(Hh, H)                        # (..., n, n) Hermitian
+    A = cplx.matmul_small(Hh, H)                        # (..., n, n) Hermitian
     n = A.shape[-1]
     top = jnp.concatenate([A.re, -A.im], axis=-1)
     bot = jnp.concatenate([A.im, A.re], axis=-1)
@@ -55,13 +55,13 @@ def apply_precoding(symbols: C, W: C) -> C:
     """x = W @ s: s (..., L, n) or (..., n) with L=1 -> (..., tx, n)."""
     if symbols.ndim == W.ndim - 1:
         symbols = C(symbols.re[..., None, :], symbols.im[..., None, :])
-    return cplx.matmul(W, symbols)
+    return cplx.matmul_small(W, symbols)
 
 
 def beamforming_gain_db(H: C, W: C) -> jnp.ndarray:
     """10·log10(‖HW‖² / (‖H‖²_F / num_tx))."""
     num_tx = H.shape[-1]
-    He = cplx.matmul(H, W)
+    He = cplx.matmul_small(H, W)
     p_bf = He.abs2().sum(axis=(-2, -1))
     p_no = H.abs2().sum(axis=(-2, -1)) / num_tx
     return 10.0 * jnp.log10(p_bf / p_no)

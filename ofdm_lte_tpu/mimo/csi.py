@@ -43,7 +43,7 @@ def sinr_to_cqi(sinr_db: jnp.ndarray) -> jnp.ndarray:
 def rank_indicator(H: C) -> jnp.ndarray:
     """RI from the eigenvalue ratio of HᴴH (csi_feedback.py:138-160)."""
     Hh = C(H.re.swapaxes(-1, -2), -H.im.swapaxes(-1, -2))
-    A = cplx.matmul(Hh, H)
+    A = cplx.matmul_small(Hh, H)
     n = A.shape[-1]
     top = jnp.concatenate([A.re, -A.im], axis=-1)
     bot = jnp.concatenate([A.im, A.re], axis=-1)

@@ -27,9 +27,13 @@ from ..ops import qam
 
 
 def _gram(H: C) -> C:
-    """HᴴH for H (..., rx, L) -> (..., L, L)."""
+    """HᴴH for H (..., rx, L) -> (..., L, L).
+
+    VPU path: these are (≤4×≤4) matrices batched over millions of
+    subcarriers — dot_general would pad each to MXU tiles (measured ~25x
+    slowdown of the whole spatial pipeline, see cplx.matmul_small)."""
     Hh = C(H.re.swapaxes(-1, -2), -H.im.swapaxes(-1, -2))
-    return cplx.matmul(Hh, H)
+    return cplx.matmul_small(Hh, H)
 
 
 def _Hh_y(H: C, y: C) -> C:
@@ -49,8 +53,8 @@ def _add_diag(A: C, d) -> C:
 
 def effective_channel(H: C, W: C) -> C:
     """H_eff = H @ W (mimo_detector.py:109-114). H (..., rx, tx),
-    W (tx, L) or (..., tx, L) — jnp.matmul broadcasts leading dims."""
-    return cplx.matmul(H, W)
+    W (tx, L) or (..., tx, L) — leading dims broadcast (VPU path)."""
+    return cplx.matmul_small(H, W)
 
 
 def mmse(y: C, H_eff: C, sigma2) -> C:
@@ -141,7 +145,7 @@ def detect(y: C, H: C, sigma2, detector_type: str = "MMSE", W: C = None,
 
     y (..., rx), H (..., rx, tx); W optional (tx, L) / C. Returns (..., L).
     """
-    H_eff = cplx.matmul(H, W) if W is not None else H
+    H_eff = cplx.matmul_small(H, W) if W is not None else H
     dt = detector_type.upper()
     if dt in ("MMSE", "IRC"):
         return mmse(y, H_eff, sigma2)

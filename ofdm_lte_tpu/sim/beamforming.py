@@ -72,7 +72,7 @@ def simulate_beamforming(key: jax.Array, bits: jnp.ndarray, snr_db,
     else:
         W = fb.precoder                                  # (..., tx, 1)
 
-    He = cplx.matmul(H, W)                               # (..., rx, 1)
+    He = cplx.matmul_small(H, W)                               # (..., rx, 1)
     gain_db = bf.beamforming_gain_db(H, W)
 
     # y[rx, k] = He[rx]·s[k] + n ; build via broadcasting

@@ -28,6 +28,18 @@ def test_matmul(rng):
     np.testing.assert_allclose(got, a @ b, atol=1e-4)
 
 
+def test_matmul_small_matches_matmul(rng):
+    """VPU broadcast-FMA form vs dot_general, incl. broadcast leading dims."""
+    a = rng.standard_normal((5, 7, 2, 3)) + 1j * rng.standard_normal((5, 7, 2, 3))
+    b = rng.standard_normal((5, 7, 3, 4)) + 1j * rng.standard_normal((5, 7, 3, 4))
+    got = cplx.matmul_small(cplx.from_numpy(a), cplx.from_numpy(b)).to_numpy()
+    np.testing.assert_allclose(got, a @ b, atol=1e-5)
+    # unbatched rhs broadcasting against a batched lhs (the W-precoder case)
+    w = rng.standard_normal((3, 2)) + 1j * rng.standard_normal((3, 2))
+    got2 = cplx.matmul_small(cplx.from_numpy(a), cplx.from_numpy(w)).to_numpy()
+    np.testing.assert_allclose(got2, a @ w, atol=1e-5)
+
+
 @pytest.mark.parametrize("n", [1, 2, 3, 4, 6])
 def test_solve_matches_numpy(n, rng):
     """Closed-form (n≤4) and block-embedded (n>4) complex solves."""
