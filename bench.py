@@ -91,10 +91,24 @@ def _time_steps(fn, key, n_steps=20):
     timing_key = jax.random.fold_in(key, 999)
     rolls = []   # (dt, signature tuple)
     for roll in range(N_COMPILE_ROLLS):
-        steps = n_steps + roll          # distinct program hash per roll
-        run = make_run(steps)
-        out = run(key)                  # compile + warmup
-        jax.block_until_ready(out)
+        # the remote-compile service intermittently drops connections
+        # (INTERNAL: response body closed); salt the scan length to force a
+        # fresh program hash and retry instead of losing the whole entry
+        last_err = None
+        for attempt in range(3):
+            steps = n_steps + roll + attempt * N_COMPILE_ROLLS
+            run = make_run(steps)
+            try:
+                out = run(key)          # compile + warmup
+                jax.block_until_ready(out)
+                last_err = None
+                break
+            except Exception as e:      # pragma: no cover - transient infra
+                last_err = e
+                print(f"#   roll {roll} attempt {attempt} failed: "
+                      f"{str(e)[:120]}", file=sys.stderr)
+        if last_err is not None:
+            continue                    # give up on this roll, keep others
         t0 = time.perf_counter()
         final, ys = run(timing_key)
         jax.block_until_ready(final)
@@ -106,6 +120,9 @@ def _time_steps(fn, key, n_steps=20):
         print(f"#   roll {roll}: {dt * 1e3:.2f} ms/step "
               f"sig0={sig[0]:.0f}", file=sys.stderr)
         rolls.append((dt, sig))
+
+    if not rolls:
+        raise RuntimeError("all compile rolls failed (remote-compile flake)")
 
     def agree(a, b):
         return np.allclose(a, b, rtol=2e-3, atol=2.0)
