@@ -13,8 +13,10 @@ replacement per SURVEY §2.9:
 Multi-host: build the mesh from jax.devices() after jax.distributed
 initialization — the same shard_map program then spans hosts, with psum
 riding ICI within a slice and DCN across hosts. DP is the only parallelism
-dimension this workload needs (no TP/PP/EP — there are no weights); the mesh
-is 1-D by design, not by limitation.
+dimension this workload needs (no TP/PP/EP — there are no weights). The mesh
+is 1-D ('mc') by default; `make_mesh_2d` gives a ('snr', 'mc') mesh that
+also shards SNR points across devices (each chip then simulates only its
+SNR block — the (SNR × frames) pod-slice layout of SURVEY §2.9).
 """
 from __future__ import annotations
 
@@ -95,6 +97,22 @@ def make_mesh(devices=None, axis_name: str = "mc") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(num_snr_shards: int, devices=None) -> Mesh:
+    """2-D ('snr', 'mc') mesh: SNR points shard across the first axis,
+    Monte-Carlo frames across the second (SURVEY §2.9: "shard (SNR point ×
+    frame batch) across a pod slice"). Use when SNR-point count × frame
+    batch exceeds what replicating every point on every chip allows — each
+    chip then simulates only its SNR block, and the psum error reduction
+    rides ICI within an 'mc' row."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n % num_snr_shards:
+        raise ValueError(f"{n} devices not divisible into "
+                         f"{num_snr_shards} SNR shards")
+    return Mesh(np.asarray(devices).reshape(num_snr_shards, -1),
+                ("snr", "mc"))
+
+
 def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
               frames_per_device: int = 8, num_ofdm_symbols: int = 28,
               mesh: Mesh = None, mode: str = "lte",
@@ -112,9 +130,23 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
     """
     if mesh is None:
         mesh = make_mesh()
-    axis = mesh.axis_names[0]
+    # 1-D mesh: every device runs every SNR point on its frame shard.
+    # 2-D ('snr', 'mc') mesh: SNR points shard across the 'snr' axis too.
+    if len(mesh.axis_names) == 2:
+        snr_axis, axis = mesh.axis_names
+        n_snr_shards = mesh.shape[snr_axis]
+    else:
+        snr_axis, axis = None, mesh.axis_names[0]
+        n_snr_shards = 1
+    mc_size = mesh.shape[axis]
     snr_points = jnp.asarray(snr_points, jnp.float32)
     S = snr_points.shape[0]
+    # pad the SNR axis to a multiple of its shard count (trimmed at the end)
+    S_pad = (-S) % n_snr_shards
+    snr_work = (jnp.concatenate([snr_points,
+                                 jnp.broadcast_to(snr_points[-1:], (S_pad,))])
+                if S_pad else snr_points)
+    S_local = (S + S_pad) // n_snr_shards
     n_bits = _bits_per_frame(config, num_ofdm_symbols, mode, pipeline)
     F = frames_per_device
 
@@ -122,10 +154,14 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
         # distinct stream per device, derived from a REPLICATED base key —
         # multi-process safe (no host-side key sharding needed; decorrelation
         # comes from the device's global mesh index)
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        dev = jax.lax.axis_index(axis)
+        if snr_axis is not None:
+            dev = dev + jax.lax.axis_index(snr_axis) * mc_size
+        key = jax.random.fold_in(key, dev)
         kb, kc = jax.random.split(key)
-        bits = jax.random.bernoulli(kb, 0.5, (S, F, n_bits)).astype(jnp.int32)
-        keys = jax.random.split(kc, S * F).reshape(S, F, 2)
+        bits = jax.random.bernoulli(
+            kb, 0.5, (S_local, F, n_bits)).astype(jnp.int32)
+        keys = jax.random.split(kc, S_local * F).reshape(S_local, F, 2)
 
         def one_lane(k, b, snr):
             r = _run_pipeline(k, b, snr, config, mode, channel_type,
@@ -138,18 +174,20 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
                 lambda k, b: one_lane(k, b, snr))(ks, bs)
         )(keys, bits, snrs)
 
-        errors = jax.lax.psum(jnp.sum(errs, axis=1), axis)          # (S,)
-        papr = jax.lax.pmean(jnp.mean(paprs, axis=1), axis)         # (S,)
+        errors = jax.lax.psum(jnp.sum(errs, axis=1), axis)    # (S_local,)
+        papr = jax.lax.pmean(jnp.mean(paprs, axis=1), axis)   # (S_local,)
         return errors, papr
 
     sharded = shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(), P(snr_axis)),
+        out_specs=(P(snr_axis), P(snr_axis)),
     )
-    errors, papr = jax.jit(sharded)(key, snr_points)
+    errors, papr = jax.jit(sharded)(key, snr_work)
+    errors, papr = errors[:S], papr[:S]
 
-    total = jnp.full((S,), n_bits * F * len(mesh.devices.flat), jnp.int64
+    frames_per_point = F * mc_size
+    total = jnp.full((S,), n_bits * frames_per_point, jnp.int64
                      if jax.config.jax_enable_x64 else jnp.int32)
     return SweepResult(snr_points, errors / total, errors, total, papr,
-                       int(F * len(mesh.devices.flat)))
+                       frames_per_point)

@@ -61,3 +61,45 @@ def test_all_modulations_sweep():
     for mod, r in out.items():
         assert r["ber_values"][0] == 0.0
         assert "ber_ci_low" in r
+
+
+def test_sweep_2d_snr_by_mc_mesh():
+    """('snr', 'mc') mesh: SNR points shard across devices too (SURVEY
+    §2.9's (SNR × frame-batch) pod-slice layout), including a non-divisible
+    point count that exercises the padding/trim path."""
+    cfg = LTEConfig(bandwidth=1.25, modulation="QPSK")
+    mesh2d = sweep.make_mesh_2d(4)            # 4 SNR shards x 2 mc
+    assert mesh2d.shape == {"snr": 4, "mc": 2}
+    r = sweep.ber_sweep(jax.random.PRNGKey(0), cfg,
+                        snr_points=[0.0, 6.0, 12.0, 60.0],
+                        frames_per_device=2, num_ofdm_symbols=14, mesh=mesh2d)
+    ber = np.asarray(r.ber)
+    assert ber.shape == (4,)
+    assert r.frames == 4                      # 2 frames x 2 'mc' devices
+    from ofdm_lte_tpu.sim import siso
+    assert int(r.total_bits[0]) == r.frames * siso.bits_per_frame(cfg, 14)
+    assert ber[0] > ber[1] > ber[2] and ber[3] == 0.0
+
+    # 3 points over 4 shards: padded to 4, trimmed back
+    r3 = sweep.ber_sweep(jax.random.PRNGKey(2), cfg,
+                         snr_points=[0.0, 6.0, 60.0],
+                         frames_per_device=2, num_ofdm_symbols=14,
+                         mesh=mesh2d)
+    b3 = np.asarray(r3.ber)
+    assert b3.shape == (3,)
+    assert b3[0] > b3[1] > b3[2] == 0.0
+
+    # statistics agree with the 1-D mesh at equal total frames
+    r1d = sweep.ber_sweep(jax.random.PRNGKey(3), cfg, [6.0],
+                          frames_per_device=1, num_ofdm_symbols=14,
+                          mesh=sweep.make_mesh(jax.devices()[:4]))
+    r2d = sweep.ber_sweep(jax.random.PRNGKey(3), cfg, [6.0],
+                          frames_per_device=2, num_ofdm_symbols=14,
+                          mesh=sweep.make_mesh_2d(4))
+    assert r1d.frames == r2d.frames == 4
+    assert abs(float(r1d.ber[0]) - float(r2d.ber[0])) < 0.03
+
+
+def test_make_mesh_2d_rejects_indivisible():
+    with pytest.raises(ValueError):
+        sweep.make_mesh_2d(3)                 # 8 devices, 3 shards
