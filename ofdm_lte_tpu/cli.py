@@ -137,9 +137,12 @@ def cmd_sweep(args):
             print(f"# resumed from {args.checkpoint} "
                   f"({state['rounds']} rounds done)", file=sys.stderr)
 
+    mesh = (psweep.make_mesh_2d(args.snr_shards)
+            if getattr(args, "snr_shards", 1) > 1 else None)
     key = jax.random.PRNGKey(args.seed + state["rounds"])
     for rnd in range(args.rounds):
         r = psweep.ber_sweep(jax.random.fold_in(key, rnd), cfg, snrs,
+                             mesh=mesh,
                              frames_per_device=args.frames,
                              num_ofdm_symbols=args.num_symbols,
                              channel_type=args.channel,
@@ -345,6 +348,9 @@ def build_parser():
                     choices=["siso", "simo", "sfbc", "spatial"])
     sp.add_argument("--num-tx", type=int, default=2, dest="num_tx")
     sp.add_argument("--num-rx", type=int, default=2, dest="num_rx")
+    sp.add_argument("--snr-shards", type=int, default=1, dest="snr_shards",
+                    help="shard SNR points across this many mesh rows "
+                         "(2-D snr x mc mesh; must divide device count)")
     sp.set_defaults(fn=cmd_sweep)
 
     sp = sub.add_parser(
