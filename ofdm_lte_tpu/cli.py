@@ -150,6 +150,7 @@ def cmd_sweep(args):
                              velocity_kmh=args.velocity,
                              pipeline=pipeline,
                              num_tx=args.num_tx, num_rx=args.num_rx,
+                             coded_tb_bits=getattr(args, "tb_bits", 6000),
                              mode="sc-fdm" if args.sc_fdm else "lte")
         for i in range(len(snrs)):
             state["errors"][i] += int(r.bit_errors[i])
@@ -345,7 +346,9 @@ def build_parser():
     sp.add_argument("--checkpoint", default=None,
                     help="JSON file to accumulate/resume sweep state")
     sp.add_argument("--pipeline", default="siso",
-                    choices=["siso", "simo", "sfbc", "spatial"])
+                    choices=["siso", "simo", "sfbc", "spatial", "coded"])
+    sp.add_argument("--tb-bits", type=int, default=6000, dest="tb_bits",
+                    help="transport-block bits per frame (coded pipeline)")
     sp.add_argument("--num-tx", type=int, default=2, dest="num_tx")
     sp.add_argument("--num-rx", type=int, default=2, dest="num_rx")
     sp.add_argument("--snr-shards", type=int, default=1, dest="snr_shards",

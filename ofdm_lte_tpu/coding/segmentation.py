@@ -101,6 +101,46 @@ def segment_code_blocks(tb_with_crc: np.ndarray) -> Tuple[List[np.ndarray], dict
     return blocks, meta
 
 
+def segment_layout(B: int) -> dict:
+    """Shape-only segmentation plan for a transport block of B bits
+    (incl. CRC-24A) — everything `segment_code_blocks` decides that does
+    not depend on the bit VALUES. Drives the fully in-graph batched coded
+    chain (sim/coded.simulate_siso_coded_batched): block sizes and filler/
+    info placement become static gather/scatter indices.
+
+    Returns {segmented, sizes[C], fillers[C], info[C], positions[C]} where
+    positions[r] is the start offset of block r's info bits within the TB.
+    """
+    if B <= Z_MAX:
+        K = find_interleaver_size(B)
+        return {"segmented": False, "sizes": [K], "fillers": [K - B],
+                "info": [B], "positions": [0]}
+
+    L = 24
+    C = int(np.ceil(B / (Z_MAX - L)))
+    B_prime = B + C * L
+    K_plus = find_interleaver_size(int(np.ceil(B_prime / C)))
+    kp_idx = TURBO_INTERLEAVER_SIZES.index(K_plus)
+    K_minus = TURBO_INTERLEAVER_SIZES[kp_idx - 1] if kp_idx > 0 else K_plus
+    delta = K_plus - K_minus
+    C_minus = (C * K_plus - B_prime) // delta if delta > 0 else 0
+
+    sizes, fillers, info, positions = [], [], [], []
+    remaining, pos = B, 0
+    for r in range(C):
+        K_r = K_minus if r < C_minus else K_plus
+        avail = K_r - L
+        take = remaining if r == C - 1 else min(avail, remaining // (C - r))
+        sizes.append(K_r)
+        fillers.append(avail - take)
+        info.append(take)
+        positions.append(pos)
+        remaining -= take
+        pos += take
+    return {"segmented": True, "sizes": sizes, "fillers": fillers,
+            "info": info, "positions": positions}
+
+
 def desegment_code_blocks(blocks: List[np.ndarray], meta: dict) -> np.ndarray:
     """Inverse (segmentation.py:266-360): strip per-block CRC-24B (if
     segmented) and filler bits, concatenate."""

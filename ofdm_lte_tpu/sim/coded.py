@@ -53,25 +53,28 @@ def _coded_link(key, data_syms: C, snr_db, config: LTEConfig, S: int,
                 channel_type: str, itu_profile: str, velocity_kmh):
     """Jitted middle: grid/IFFT/CP -> channel -> FFT -> CRS est -> ZF.
 
-    data_syms: C (S, n_data) interleaved QAM symbols.
-    Returns (equalized data symbols (S, n_data), H at data bins (S, n_data),
-    papr, pilot snr db)."""
+    data_syms: C (..., S, n_data) interleaved QAM symbols; leading axes are
+    independent Monte-Carlo lanes (snr_db broadcasts against them).
+    Returns (equalized data symbols (..., S, n_data), H at data bins,
+    papr (...,), pilot snr db (...,))."""
     g = grid_for(config)
+    lead = data_syms.shape[:-2]
     tx = ofdm.modulate_symbols(data_syms, config)
-    sig = tx.reshape((S * config.samples_per_ofdm_symbol,))
-    papr = ofdm.papr_db(sig)
+    sig = tx.reshape(lead + (S * config.samples_per_ofdm_symbol,))
+    papr = ofdm.papr_db(sig, axis=-1)
 
     if channel_type == "awgn":
-        rx = awgn(key, sig, snr_db)
+        rx = awgn(key, sig, snr_db, measure_axes=(-1,))
     else:
         profile = make_profile(itu_profile, config.fs, velocity_kmh, 2.0)
-        rx = rayleigh_multipath(key, sig, snr_db, profile)
+        rx = rayleigh_multipath(key, sig, snr_db, profile,
+                                measure_axes=(-1,))
 
     y = ofdm.frame_stream(rx, config)
     y_data = ofdm.demodulate_bins(y, config, g.data_idx)
 
     slot_starts = est.slot_start_indices(S)
-    y_pil = ofdm.demodulate_bins(y[slot_starts, :], config, g.pilot_idx)
+    y_pil = ofdm.demodulate_bins(y[..., slot_starts, :], config, g.pilot_idx)
     h_pil = est.ls_at_pilots(y_pil)
     psnr = est.pilot_snr_db(y_pil, axis=(-2, -1))
     h_slots = est.interpolate(h_pil, config, out_bins=g.data_idx)
@@ -91,6 +94,154 @@ def _decode_group(llr_blocks: jnp.ndarray, K: int,
 def _encode_group(blocks: jnp.ndarray, K: int) -> jnp.ndarray:
     enc = turbo.turbo_encode(blocks, K)
     return rate_matching.rate_match(enc, 3 * K + 12, K, 0)
+
+
+class CodedBatchResult(NamedTuple):
+    bits_rx: jnp.ndarray       # (..., n_bits) int32
+    bit_errors: jnp.ndarray    # (...,) int32
+    ber: jnp.ndarray           # (...,) float32
+    crc_pass: jnp.ndarray      # (...,) bool
+    papr_db: jnp.ndarray       # (...,) float32
+
+
+def _transpose_flatten(x: C, a: int, b: int) -> C:
+    """Row/column block interleave on the last axis: write (a, b) rows,
+    read columns (ofdm_core.py:1037-1060), batched over leading axes."""
+    lead = x.shape[:-1]
+    y = x.reshape(lead + (a, b))
+    return C(y.re.swapaxes(-1, -2), y.im.swapaxes(-1, -2)).reshape(
+        lead + (a * b,))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "config", "channel_type", "itu_profile", "velocity_kmh",
+    "num_iterations"))
+def _coded_chain_batched(key, bits, snr_db, config: LTEConfig,
+                         channel_type: str, itu_profile: str, velocity_kmh,
+                         num_iterations: int) -> CodedBatchResult:
+    """The full TS 36.212 coded chain as ONE XLA program, batched over any
+    leading Monte-Carlo axes. The segmentation LAYOUT (block sizes K±,
+    filler/info placement) depends only on the static TB length, so it is
+    computed on the host (segmentation.segment_layout) and becomes static
+    scatter/gather indices; CRC runs in-graph as a GF(2) matmul; equal-K
+    blocks encode/decode as one batched turbo scan."""
+    lead = bits.shape[:-1]
+    n_orig = bits.shape[-1]
+    B = n_orig + 24
+    g = grid_for(config)
+    nd = g.num_data
+    bps = config.bits_per_symbol
+
+    tb = jnp.concatenate(
+        [bits, crc.crc_jax(bits, crc.CRC24A_POLY, 24)], axis=-1)
+
+    lay = segmentation.segment_layout(B)
+    C_blocks = len(lay["sizes"])
+
+    # ---- build code blocks (static scatter), group equal-K for encode ----
+    blk_by_r = [None] * C_blocks
+    for r in range(C_blocks):
+        K, F, I, P = (lay["sizes"][r], lay["fillers"][r], lay["info"][r],
+                      lay["positions"][r])
+        if lay["segmented"]:
+            body = jnp.zeros(lead + (K - 24,), jnp.int32)
+            body = body.at[..., F:F + I].set(tb[..., P:P + I])
+            blk_by_r[r] = jnp.concatenate(
+                [body, crc.crc_jax(body, crc.CRC24B_POLY, 24)], axis=-1)
+        else:
+            blk_by_r[r] = jnp.zeros(lead + (K,), jnp.int32).at[
+                ..., F:].set(tb)
+
+    groups = {}
+    for r in range(C_blocks):
+        groups.setdefault(lay["sizes"][r], []).append(r)
+
+    rm_by_r = [None] * C_blocks
+    for K, idxs in groups.items():
+        stacked = jnp.stack([blk_by_r[r] for r in idxs], axis=-2)
+        out = rate_matching.rate_match(
+            turbo.turbo_encode(stacked, K), 3 * K + 12, K, 0)
+        for j, r in enumerate(idxs):
+            rm_by_r[r] = out[..., j, :]
+    coded = jnp.concatenate(rm_by_r, axis=-1)
+    offsets = np.cumsum([0] + [3 * K + 12 for K in lay["sizes"]])
+    coded_len = int(offsets[-1])
+
+    # ---- QAM + time-frequency block interleaver ----
+    pad_b = (-coded_len) % bps
+    coded_p = jnp.pad(coded, [(0, 0)] * len(lead) + [(0, pad_b)])
+    n_sym = (coded_len + pad_b) // bps
+    rows = int(np.ceil(n_sym / nd))
+    total = rows * nd
+    syms = qam.modulate(coded_p, config.modulation)
+    syms = cplx.pad(syms, [(0, 0)] * (syms.ndim - 1) + [(0, total - n_sym)])
+    data_syms = _transpose_flatten(syms, rows, nd).reshape(lead + (rows, nd))
+
+    # ---- link ----
+    x_eq, h_data, papr, _psnr = _coded_link(
+        key, data_syms, snr_db, config, rows, channel_type, itu_profile,
+        velocity_kmh)
+
+    # ---- de-interleave symbols + H, per-subcarrier noise variance ----
+    de = _transpose_flatten(x_eq.reshape(lead + (total,)), nd, rows)[
+        ..., :n_sym]
+    h_de = _transpose_flatten(h_data.reshape(lead + (total,)), nd, rows)[
+        ..., :n_sym]
+    sigma2 = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 10.0)
+    s2 = sigma2[..., None] if sigma2.ndim else sigma2
+    if channel_type == "awgn":
+        noise_var = jnp.broadcast_to(jnp.asarray(s2, jnp.float32),
+                                     lead + (n_sym,))
+    else:
+        h_pow = jnp.clip(h_de.abs2(), 1e-6, 1e6)
+        noise_var = jnp.maximum(s2 / h_pow, s2 / 4.0)
+
+    llrs = qam.llrs(de, noise_var, config.modulation)[..., :coded_len]
+
+    # ---- de-rate-match + turbo decode (grouped by K), desegment ----
+    dec_by_r = [None] * C_blocks
+    for K, idxs in groups.items():
+        batch = jnp.stack(
+            [llrs[..., offsets[r]:offsets[r + 1]] for r in idxs], axis=-2)
+        out = turbo.turbo_decode(
+            rate_matching.rate_dematch(batch, K, 0), K, num_iterations)
+        for j, r in enumerate(idxs):
+            dec_by_r[r] = out[..., j, :]
+
+    parts = []
+    for r in range(C_blocks):
+        K, F, I = lay["sizes"][r], lay["fillers"][r], lay["info"][r]
+        if lay["segmented"]:
+            parts.append(dec_by_r[r][..., F:F + I])   # body sans CRC-24B
+        else:
+            parts.append(dec_by_r[r][..., F:])
+    tb_rx = jnp.concatenate(parts, axis=-1)           # (..., B)
+
+    rem = crc.crc_jax(tb_rx[..., :n_orig], crc.CRC24A_POLY, 24)
+    crc_pass = jnp.all(rem == tb_rx[..., n_orig:], axis=-1)
+    bits_rx = tb_rx[..., :n_orig]
+    errors = jnp.sum((bits_rx != bits).astype(jnp.int32), axis=-1)
+    return CodedBatchResult(bits_rx, errors,
+                            errors.astype(jnp.float32) / n_orig,
+                            crc_pass, papr)
+
+
+def simulate_siso_coded_batched(key: jax.Array, bits, snr_db,
+                                config: LTEConfig,
+                                channel_type: str = "awgn",
+                                itu_profile: str = "Pedestrian_A",
+                                velocity_kmh: float = None,
+                                num_iterations: int = 8) -> CodedBatchResult:
+    """Fully in-graph coded chain: bits (..., n_bits), snr_db scalar or
+    (...,). Unlike `simulate_siso_coded` (host-orchestrated, one TB at a
+    time — kept for exact reference-workflow parity), this compiles to a
+    single XLA program and batches transport blocks as array axes — the
+    TPU-native way to run coded Monte-Carlo sweeps
+    (ofdm_core.py:925-1338 at scale)."""
+    return _coded_chain_batched(
+        key, jnp.asarray(bits, jnp.int32),
+        jnp.asarray(snr_db, jnp.float32), config, channel_type,
+        itu_profile, velocity_kmh, num_iterations)
 
 
 def simulate_siso_coded(key: jax.Array, bits: np.ndarray, snr_db: float,

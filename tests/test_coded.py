@@ -1,6 +1,7 @@
 """End-to-end turbo-coded SISO chain."""
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from ofdm_lte_tpu import LTEConfig
@@ -69,3 +70,75 @@ def test_coded_crc_fails_on_heavy_noise():
     r = coded.simulate_siso_coded(jax.random.PRNGKey(5), bits, -5.0, cfg)
     assert not r.crc_pass
     assert r.ber > 0.05
+
+
+class TestBatchedCodedChain:
+    """Fully in-graph coded chain (simulate_siso_coded_batched)."""
+
+    def test_layout_matches_segment_code_blocks(self):
+        from ofdm_lte_tpu.coding import segmentation as seg
+        for B in (64, 100, 6024, 6144, 6200, 13000):
+            tb = np.random.randint(0, 2, B).astype(np.uint8)
+            _, meta = seg.segment_code_blocks(tb)
+            lay = seg.segment_layout(B)
+            assert lay["sizes"] == meta["block_sizes"]
+            assert lay["fillers"] == meta["filler_per_block"]
+            assert sum(lay["info"]) == B
+
+    def test_matches_host_chain_bit_exactly(self):
+        """Same key + same TB -> identical link noise -> identical output."""
+        cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+        bits = np.random.default_rng(0).integers(0, 2, 6000).astype(np.int32)
+        key = jax.random.PRNGKey(0)
+        r_host = coded.simulate_siso_coded(key, bits, 5.0, cfg)
+        r_bat = coded.simulate_siso_coded_batched(key, bits, 5.0, cfg)
+        assert int(r_bat.bit_errors) == r_host.bit_errors
+        assert bool(r_bat.crc_pass) == r_host.crc_pass
+        assert np.array_equal(np.asarray(r_bat.bits_rx),
+                              r_host.bits_rx.astype(np.int32))
+
+    def test_lanes_and_per_lane_snr(self):
+        cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+        rng = np.random.default_rng(1)
+        bits = jnp.asarray(rng.integers(0, 2, (4, 6000)), jnp.int32)
+        snr = jnp.asarray([0.0, 3.0, 5.0, 20.0], jnp.float32)
+        r = coded.simulate_siso_coded_batched(jax.random.PRNGKey(1), bits,
+                                              snr, cfg)
+        ber = np.asarray(r.ber)
+        ok = np.asarray(r.crc_pass)
+        assert r.bits_rx.shape == (4, 6000)
+        assert ber[0] > 0.2 and not ok[0]      # 0 dB: waterfall not reached
+        assert ber[3] == 0.0 and ok[3]         # 20 dB: clean
+        assert np.all(np.asarray(r.papr_db) > 5.0)
+
+    def test_multiblock_segmentation_in_graph(self):
+        """9000-bit TB -> C=2 blocks (K-/K+ mix) fully in-graph."""
+        cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+        rng = np.random.default_rng(2)
+        bits = jnp.asarray(rng.integers(0, 2, (2, 9000)), jnp.int32)
+        r = coded.simulate_siso_coded_batched(jax.random.PRNGKey(2), bits,
+                                              8.0, cfg)
+        assert np.all(np.asarray(r.ber) == 0.0)
+        assert np.all(np.asarray(r.crc_pass))
+
+    def test_rayleigh_noise_weighting(self):
+        cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+        rng = np.random.default_rng(3)
+        bits = jnp.asarray(rng.integers(0, 2, (2, 3000)), jnp.int32)
+        r = coded.simulate_siso_coded_batched(
+            jax.random.PRNGKey(3), bits, 14.0, cfg,
+            channel_type="rayleigh_mp", itu_profile="Pedestrian_A",
+            velocity_kmh=3.0)
+        assert np.all(np.asarray(r.ber) < 0.05)
+
+    def test_sharded_coded_sweep(self):
+        from ofdm_lte_tpu.parallel import sweep
+        cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+        r = sweep.ber_sweep(jax.random.PRNGKey(0), cfg, [0.0, 5.0, 7.0],
+                            frames_per_device=1, num_ofdm_symbols=14,
+                            pipeline="coded", coded_tb_bits=1000)
+        ber = np.asarray(r.ber)
+        assert ber.shape == (3,)
+        assert ber[0] > 0.3              # far below the turbo waterfall
+        assert ber[1] < 0.05             # at/past the waterfall edge
+        assert ber[2] == 0.0             # comfortably past it
