@@ -197,16 +197,36 @@ def turbo_encode(bits: jnp.ndarray, K: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Max-log BCJR decoder
+# BCJR decoder (max-log and exact log-MAP semirings)
 # ---------------------------------------------------------------------------
 
 _NEG = -1e9
 
+# Parity with the reference's global USE_MAX_LOG_MAP switch
+# (turbo_decoder.py:33-55): True = max-log (reference default), False = exact
+# log-MAP (max* = log-sum-exp). Per-call `use_max_log` kwargs override it.
+USE_MAX_LOG_MAP = True
 
-def _maxplus_mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Batched max-plus matrix product c[i,j] = max_k a[i,k] + b[k,j]
-    for (..., 8, 8) operands — the BCJR recursions' semiring."""
-    return jnp.max(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+def set_decoder_mode(use_max_log_map: bool = True) -> None:
+    """Mirror of the reference's set_decoder_mode (turbo_decoder.py:35-55)."""
+    global USE_MAX_LOG_MAP
+    USE_MAX_LOG_MAP = bool(use_max_log_map)
+
+
+def _reduce(x: jnp.ndarray, axis: int, use_max_log: bool) -> jnp.ndarray:
+    """Semiring 'sum': max (max-log-MAP) or logsumexp (exact log-MAP)."""
+    if use_max_log:
+        return jnp.max(x, axis=axis)
+    return jax.nn.logsumexp(x, axis=axis)
+
+
+def _maxplus_mm(a: jnp.ndarray, b: jnp.ndarray,
+                use_max_log: bool = True) -> jnp.ndarray:
+    """Batched semiring matrix product c[i,j] = ⊕_k a[i,k] + b[k,j]
+    for (..., 8, 8) operands — ⊕ = max (max-log) or LSE (log-MAP); both are
+    associative, so either supports the prefix-product formulation."""
+    return _reduce(a[..., :, :, None] + b[..., None, :, :], -2, use_max_log)
 
 
 @functools.lru_cache(maxsize=None)
@@ -221,11 +241,15 @@ def _edge_scatter():
 
 
 def _bcjr(llr_sys: jnp.ndarray, llr_par: jnp.ndarray,
-          llr_apriori: jnp.ndarray, impl: str = None) -> jnp.ndarray:
-    """Max-log BCJR a-posteriori LLRs.
+          llr_apriori: jnp.ndarray, impl: str = None,
+          use_max_log: bool = True) -> jnp.ndarray:
+    """BCJR a-posteriori LLRs (max-log by default, exact log-MAP otherwise).
 
     All inputs (..., K'); returns a-posteriori LLRs (..., K'). Assumes the
     trellis starts AND ends in state 0 (termination included in K').
+    use_max_log=False switches every max in the recursions/outputs to
+    log-sum-exp — the reference's True-Log-MAP mode (max_star,
+    turbo_decoder.py:92-115).
 
     impl: 'scan' — α/β as sequential lax.scans (O(K) depth, minimal work);
           'assoc' — α/β as max-plus MATRIX PREFIX PRODUCTS via
@@ -270,7 +294,8 @@ def _bcjr(llr_sys: jnp.ndarray, llr_par: jnp.ndarray,
         T = T.at[..., jnp.asarray(rows), jnp.asarray(srcs)].set(g_edges)
 
         # α_k = (T_{k-1} ⊗ … ⊗ T_0) ⊗ α_0 = P_{k-1}[:, 0]  (α_0 one-hot at 0)
-        P = jax.lax.associative_scan(lambda a, b: _maxplus_mm(b, a), T, axis=0)
+        P = jax.lax.associative_scan(
+            lambda a, b: _maxplus_mm(b, a, use_max_log), T, axis=0)
         alphas = jnp.concatenate([a0[None], P[:-1][..., :, 0]], axis=0)
 
         # β_k = (U_k ⊗ … ⊗ U_{K'-1}) ⊗ β_{K'} = Q_k[:, 0], U = Tᵀ.
@@ -278,8 +303,9 @@ def _bcjr(llr_sys: jnp.ndarray, llr_par: jnp.ndarray,
         # accumulated from the END, so here too the new element multiplies
         # on the left: fn(acc, elem) = elem ⊗ acc.
         U = T.swapaxes(-1, -2)
-        Q = jax.lax.associative_scan(lambda a, b: _maxplus_mm(b, a), U,
-                                     axis=0, reverse=True)
+        Q = jax.lax.associative_scan(
+            lambda a, b: _maxplus_mm(b, a, use_max_log), U,
+            axis=0, reverse=True)
         betas_rev = jnp.concatenate([Q[1:][..., :, 0], bK[None]], axis=0)
     else:
         # flat edge tables: for target state s', edge e in {0,1}: source state
@@ -292,7 +318,7 @@ def _bcjr(llr_sys: jnp.ndarray, llr_par: jnp.ndarray,
             g_edges = gk[..., ps_flat, pi_flat]              # (..., 16)
             cand = jnp.take(a, ps_flat, axis=-1) + g_edges
             cand = cand.reshape(cand.shape[:-1] + (8, 2))
-            a_new = jnp.max(cand, axis=-1)
+            a_new = _reduce(cand, -1, use_max_log)
             return a_new, a
 
         aK, alphas = jax.lax.scan(alpha_step, a0, gt)        # alphas: pre-step
@@ -302,7 +328,7 @@ def _bcjr(llr_sys: jnp.ndarray, llr_par: jnp.ndarray,
             # beta[s] = max_i bnext[ns[s,i]] + g[s,i]
             cand = jnp.take(bnext, ns.reshape(-1), axis=-1).reshape(
                 bnext.shape[:-1] + (8, 2)) + gk
-            b_new = jnp.max(cand, axis=-1)
+            b_new = _reduce(cand, -1, use_max_log)
             return b_new, bnext
 
         b0, betas_rev = jax.lax.scan(beta_step, bK, gt, reverse=True)
@@ -314,20 +340,24 @@ def _bcjr(llr_sys: jnp.ndarray, llr_par: jnp.ndarray,
     bnext = jnp.take(betas_b, ns.reshape(-1), axis=-1).reshape(
         betas_b.shape[:-1] + (8, 2))
     val = alphas_b[..., :, None] + g + bnext                 # (..., K', 8, 2)
-    llr0 = jnp.max(val[..., 0], axis=-1)
-    llr1 = jnp.max(val[..., 1], axis=-1)
+    llr0 = _reduce(val[..., 0], -1, use_max_log)
+    llr1 = _reduce(val[..., 1], -1, use_max_log)
     return llr0 - llr1
 
 
 def turbo_decode(llr_encoded: jnp.ndarray, K: int,
-                 num_iterations: int = 5) -> jnp.ndarray:
-    """Iterative max-log turbo decode.
+                 num_iterations: int = 5,
+                 use_max_log: bool = None) -> jnp.ndarray:
+    """Iterative turbo decode (max-log by default; exact log-MAP with
+    use_max_log=False, or globally via set_decoder_mode).
 
     llr_encoded: (..., 3K+12) in the encoder's interlaced order (LLR>0 ->
     bit 0). Returns hard decisions (..., K). Matches turbo_decode at
     turbo_decoder.py:338-450: extrinsic = APP − apriori − systematic, tails
     appended per constituent decoder, final pass on decoder 1's APP.
     """
+    if use_max_log is None:
+        use_max_log = USE_MAX_LOG_MAP
     lead = llr_encoded.shape[:-1]
     data = llr_encoded[..., :3 * K].reshape(lead + (K, 3))
     l_sys = data[..., 0]
@@ -347,13 +377,13 @@ def turbo_decode(llr_encoded: jnp.ndarray, K: int,
 
     for _ in range(num_iterations):
         apr1 = jnp.concatenate([ext21, zeros3], axis=-1)
-        app1 = _bcjr(l_sys1, l_par1e, apr1)
+        app1 = _bcjr(l_sys1, l_par1e, apr1, use_max_log=use_max_log)
         ext12 = (app1 - apr1 - l_sys1)[..., :K]
 
         apr2 = jnp.concatenate([qpp_interleave(ext12, K), zeros3], axis=-1)
-        app2 = _bcjr(l_sys2, l_par2e, apr2)
+        app2 = _bcjr(l_sys2, l_par2e, apr2, use_max_log=use_max_log)
         ext21 = qpp_deinterleave((app2 - apr2 - l_sys2)[..., :K], K)
 
     apr1 = jnp.concatenate([ext21, zeros3], axis=-1)
-    app = _bcjr(l_sys1, l_par1e, apr1)
+    app = _bcjr(l_sys1, l_par1e, apr1, use_max_log=use_max_log)
     return (app[..., :K] < 0).astype(jnp.int32)

@@ -83,11 +83,12 @@ def _coded_link(key, data_syms: C, snr_db, config: LTEConfig, S: int,
     return x_eq, h_data, papr, psnr
 
 
-@functools.partial(jax.jit, static_argnames=("K", "num_iterations"))
-def _decode_group(llr_blocks: jnp.ndarray, K: int,
-                  num_iterations: int) -> jnp.ndarray:
+@functools.partial(jax.jit,
+                   static_argnames=("K", "num_iterations", "use_max_log"))
+def _decode_group(llr_blocks: jnp.ndarray, K: int, num_iterations: int,
+                  use_max_log: bool = True) -> jnp.ndarray:
     dem = rate_matching.rate_dematch(llr_blocks, K, 0)
-    return turbo.turbo_decode(dem, K, num_iterations)
+    return turbo.turbo_decode(dem, K, num_iterations, use_max_log)
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
@@ -115,10 +116,11 @@ def _transpose_flatten(x: C, a: int, b: int) -> C:
 
 @functools.partial(jax.jit, static_argnames=(
     "config", "channel_type", "itu_profile", "velocity_kmh",
-    "num_iterations"))
+    "num_iterations", "use_max_log"))
 def _coded_chain_batched(key, bits, snr_db, config: LTEConfig,
                          channel_type: str, itu_profile: str, velocity_kmh,
-                         num_iterations: int) -> CodedBatchResult:
+                         num_iterations: int,
+                         use_max_log: bool = True) -> CodedBatchResult:
     """The full TS 36.212 coded chain as ONE XLA program, batched over any
     leading Monte-Carlo axes. The segmentation LAYOUT (block sizes K±,
     filler/info placement) depends only on the static TB length, so it is
@@ -204,7 +206,8 @@ def _coded_chain_batched(key, bits, snr_db, config: LTEConfig,
         batch = jnp.stack(
             [llrs[..., offsets[r]:offsets[r + 1]] for r in idxs], axis=-2)
         out = turbo.turbo_decode(
-            rate_matching.rate_dematch(batch, K, 0), K, num_iterations)
+            rate_matching.rate_dematch(batch, K, 0), K, num_iterations,
+            use_max_log)
         for j, r in enumerate(idxs):
             dec_by_r[r] = out[..., j, :]
 
@@ -231,24 +234,34 @@ def simulate_siso_coded_batched(key: jax.Array, bits, snr_db,
                                 channel_type: str = "awgn",
                                 itu_profile: str = "Pedestrian_A",
                                 velocity_kmh: float = None,
-                                num_iterations: int = 8) -> CodedBatchResult:
+                                num_iterations: int = 8,
+                                use_max_log: bool = None) -> CodedBatchResult:
     """Fully in-graph coded chain: bits (..., n_bits), snr_db scalar or
     (...,). Unlike `simulate_siso_coded` (host-orchestrated, one TB at a
     time — kept for exact reference-workflow parity), this compiles to a
     single XLA program and batches transport blocks as array axes — the
     TPU-native way to run coded Monte-Carlo sweeps
-    (ofdm_core.py:925-1338 at scale)."""
+    (ofdm_core.py:925-1338 at scale).
+
+    use_max_log: None (default) follows turbo.USE_MAX_LOG_MAP, resolved
+    here — outside jit — so set_decoder_mode cannot hit a stale cache."""
+    if use_max_log is None:
+        use_max_log = turbo.USE_MAX_LOG_MAP
     return _coded_chain_batched(
         key, jnp.asarray(bits, jnp.int32),
         jnp.asarray(snr_db, jnp.float32), config, channel_type,
-        itu_profile, velocity_kmh, num_iterations)
+        itu_profile, velocity_kmh, num_iterations, bool(use_max_log))
 
 
 def simulate_siso_coded(key: jax.Array, bits: np.ndarray, snr_db: float,
                         config: LTEConfig, channel_type: str = "awgn",
                         itu_profile: str = "Pedestrian_A",
                         velocity_kmh: float = None,
-                        num_iterations: int = 8) -> CodedResult:
+                        num_iterations: int = 8,
+                        use_max_log: bool = None) -> CodedResult:
+    if use_max_log is None:
+        use_max_log = turbo.USE_MAX_LOG_MAP
+    use_max_log = bool(use_max_log)
     bits = np.asarray(bits).astype(np.uint8)
     n_orig = len(bits)
     g = grid_for(config)
@@ -317,7 +330,8 @@ def simulate_siso_coded(key: jax.Array, bits: np.ndarray, snr_db: float,
         idxs = [i for i, k in enumerate(meta["block_sizes"]) if k == K]
         batch = jnp.asarray(np.stack(
             [llrs[offs[i]:offs[i + 1]] for i in idxs]).astype(np.float32))
-        out = np.asarray(_decode_group(batch, K, num_iterations))
+        out = np.asarray(_decode_group(batch, K, num_iterations,
+                                       use_max_log))
         for j, i in enumerate(idxs):
             dec_blocks[i] = out[j].astype(np.uint8)
 

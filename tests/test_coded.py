@@ -142,3 +142,26 @@ class TestBatchedCodedChain:
         assert ber[0] > 0.3              # far below the turbo waterfall
         assert ber[1] < 0.05             # at/past the waterfall edge
         assert ber[2] == 0.0             # comfortably past it
+
+
+def test_coded_decoder_mode_switch_no_stale_cache():
+    """set_decoder_mode(False) after a max-log run must actually switch the
+    decoder program (the mode is a static jit arg resolved at the public
+    call boundary, not a trace-time global read)."""
+    from ofdm_lte_tpu.coding import turbo
+    cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, 1000).astype(np.int32)
+    key = jax.random.PRNGKey(11)
+
+    # near the waterfall, exact Log-MAP must not do WORSE than max-log
+    r_max = coded.simulate_siso_coded(key, bits, 4.0, cfg)
+    turbo.set_decoder_mode(False)
+    try:
+        r_exact = coded.simulate_siso_coded(key, bits, 4.0, cfg)
+    finally:
+        turbo.set_decoder_mode(True)
+    assert r_exact.bit_errors <= r_max.bit_errors
+    # explicit kwarg override matches the global-switch result
+    r_kw = coded.simulate_siso_coded(key, bits, 4.0, cfg, use_max_log=False)
+    assert r_kw.bit_errors == r_exact.bit_errors

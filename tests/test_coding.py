@@ -1,4 +1,5 @@
 """TS 36.212 channel-coding chain: parity with the reference implementation."""
+import os
 import sys
 
 import numpy as np
@@ -204,3 +205,44 @@ def test_turbo_decode_matches_reference_decoder(rng):
     got = np.asarray(turbo.turbo_decode(jnp.asarray(llr, jnp.float32), K,
                                         num_iterations=3))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_turbo_decode_logmap_matches_reference(rng):
+    """Exact Log-MAP mode (USE_MAX_LOG_MAP=False): same hard output as the
+    reference's max* = log-sum-exp decoder (turbo_decoder.py:92-115) on
+    identical LLRs, via both the assoc-scan and sequential-scan kernels."""
+    from core.channel_coding import turbo_decoder as ref_td
+    ref_td.USE_MAX_LOG_MAP = False
+    try:
+        K = 40
+        bits = rng.integers(0, 2, K).astype(np.int32)
+        enc = np.asarray(turbo.turbo_encode(jnp.asarray(bits), K)
+                         ).astype(float)
+        y = 1.0 - 2.0 * enc + 0.5 * rng.standard_normal(enc.shape)
+        llr = 2.0 * y / 0.25
+        ref = ref_td.turbo_decode(llr, K, num_iterations=3)
+    finally:
+        ref_td.USE_MAX_LOG_MAP = True
+    got = np.asarray(turbo.turbo_decode(jnp.asarray(llr, jnp.float32), K,
+                                        num_iterations=3, use_max_log=False))
+    np.testing.assert_array_equal(got, ref)
+    os.environ["OFDM_LTE_TPU_BCJR"] = "scan"
+    try:
+        got_scan = np.asarray(turbo.turbo_decode(
+            jnp.asarray(llr, jnp.float32), K, num_iterations=3,
+            use_max_log=False))
+    finally:
+        del os.environ["OFDM_LTE_TPU_BCJR"]
+    np.testing.assert_array_equal(got_scan, ref)
+
+
+def test_set_decoder_mode_global_switch():
+    """set_decoder_mode flips the module default like the reference's
+    global USE_MAX_LOG_MAP (turbo_decoder.py:35-55)."""
+    assert turbo.USE_MAX_LOG_MAP is True
+    turbo.set_decoder_mode(False)
+    try:
+        assert turbo.USE_MAX_LOG_MAP is False
+    finally:
+        turbo.set_decoder_mode(True)
+    assert turbo.USE_MAX_LOG_MAP is True
