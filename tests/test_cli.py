@@ -1,0 +1,99 @@
+"""CLI smoke tests — the headless GUI-replacement workflows (cli.py).
+
+Each reference GUI action has a CLI equivalent (SURVEY §2.7); these drive
+them in-process (cli.main(argv)) on tiny 1.25 MHz configs so every command
+stays wired end-to-end: info, run (+constellation PNG), sweep
+(+checkpoint resume +plot), fullsweep, image round-trip, papr CCDF.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ofdm_lte_tpu import cli
+
+
+def _run(capsys, argv):
+    cli.main(argv)
+    return capsys.readouterr().out
+
+
+def test_cli_info(capsys):
+    out = _run(capsys, ["info", "--bandwidth", "1.25"])
+    assert "FFT Size" in out or "FFT" in out
+    assert "Data Subcarriers" in out
+
+
+def test_cli_run_siso_with_constellation(capsys, tmp_path):
+    png = str(tmp_path / "const.png")
+    out = _run(capsys, ["run", "--bandwidth", "1.25", "--snr", "30",
+                        "--num-bits", "2000", "--constellation", png])
+    r = json.loads(out)
+    assert r["ber"] < 0.01
+    assert os.path.getsize(png) > 0
+
+
+def test_cli_run_spatial(capsys):
+    out = _run(capsys, ["run", "--bandwidth", "1.25", "--pipeline",
+                        "spatial", "--num-tx", "2", "--num-rx", "2",
+                        "--rank", "2", "--snr", "25",
+                        "--num-bits", "2000"])
+    r = json.loads(out)
+    assert r["ber"] < 0.2
+
+
+def test_cli_sweep_checkpoint_resume(capsys, tmp_path):
+    ckpt = str(tmp_path / "state.json")
+    png = str(tmp_path / "ber.png")
+    argv = ["sweep", "--bandwidth", "1.25", "--snr-min", "4",
+            "--snr-max", "8", "--snr-step", "4", "--frames", "1",
+            "--num-symbols", "14", "--checkpoint", ckpt, "--plot", png]
+    out1 = json.loads(_run(capsys, argv))
+    state1 = json.load(open(ckpt))
+    out2 = json.loads(_run(capsys, argv))      # resume accumulates
+    state2 = json.load(open(ckpt))
+    assert out1["snr_db"] == [4.0, 8.0]
+    tot1 = np.array(state1["total"], dtype=float)
+    tot2 = np.array(state2["total"], dtype=float)
+    assert np.all(tot2 == 2 * tot1)
+    assert state2["rounds"] == 2
+    assert all(b >= 0 for b in out2["ber"])
+    assert os.path.getsize(png) > 0
+
+
+def test_cli_fullsweep(capsys):
+    out = _run(capsys, ["fullsweep", "--bandwidth", "1.25",
+                        "--modulations", "QPSK", "--rx-list", "1,2",
+                        "--snr-min", "6", "--snr-max", "10",
+                        "--snr-step", "4", "--iterations", "1",
+                        "--num-symbols", "14"])
+    r = json.loads(out)
+    cells = r["results"] if "results" in r else r
+    text = json.dumps(cells)
+    assert "QPSK" in text
+    assert "ber" in text
+
+
+def test_cli_image_roundtrip(capsys, tmp_path):
+    from PIL import Image
+    src = str(tmp_path / "in.png")
+    cmp_png = str(tmp_path / "cmp.png")
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+                    ).save(src)
+    out = _run(capsys, ["image", "--bandwidth", "1.25", "--snr", "30",
+                        "--input", src, "--output", cmp_png])
+    r = json.loads(out)
+    assert r["ber"] < 0.01
+    assert r["psnr_db"] > 30
+    assert os.path.getsize(cmp_png) > 0
+
+
+def test_cli_papr(capsys):
+    out = _run(capsys, ["papr", "--bandwidth", "1.25",
+                        "--num-symbols", "40"])
+    r = json.loads(out)
+    text = json.dumps(r)
+    assert "sc-fdm" in text.lower() or "scfdm" in text.lower()
+    # SC-FDM must show lower PAPR than plain OFDM (README.md:938-945)
