@@ -96,9 +96,14 @@ class OFDMSimulator:
         return res
 
     def simulate_siso_coded(self, bits: np.ndarray,
-                            snr_db: float = 10.0) -> Dict:
+                            snr_db: float = 10.0,
+                            use_max_log: bool = None) -> Dict:
+        """use_max_log: None follows coding.turbo.USE_MAX_LOG_MAP (the
+        reference's set_decoder_mode global, turbo_decoder.py:33-55);
+        False = exact Log-MAP."""
         r = _coded.simulate_siso_coded(self._next_key(), bits, float(snr_db),
-                                       self.config, **{
+                                       self.config,
+                                       use_max_log=use_max_log, **{
                                            k: v for k, v in
                                            self._chan_kwargs().items()
                                            if k != "frequency_ghz"})
