@@ -272,6 +272,7 @@ def cmd_papr(args):
     from .config import LTEConfig
 
     out = {}
+    curves = {}
     rng = np.random.default_rng(args.seed)
     for modulation in ["QPSK", "16-QAM"]:
         for mode in ["lte", "sc-fdm"]:
@@ -285,7 +286,24 @@ def cmd_papr(args):
             label = f"{modulation}/{'SC-FDM' if mode == 'sc-fdm' else 'OFDM'}"
             c = papr_ccdf(p)
             out[label] = {"mean_db": c["mean_db"], "p99_db": c["p99_db"]}
+            curves[label] = c
     print(json.dumps(out, indent=2))
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        for label, c in curves.items():
+            ax.semilogy(c["thresholds_db"], np.maximum(c["ccdf"], 1e-6),
+                        label=label)
+        ax.set_xlabel("PAPR₀ (dB)")
+        ax.set_ylabel("P(PAPR > PAPR₀)")
+        ax.set_title(f"Per-symbol PAPR CCDF, {args.bandwidth} MHz")
+        ax.grid(True, which="both", alpha=0.4)
+        ax.legend()
+        fig.savefig(args.plot, dpi=110)
+        print(f"# plot saved to {args.plot}", file=sys.stderr)
 
 
 def build_parser():
@@ -383,6 +401,7 @@ def build_parser():
     common(sp)
     sp.add_argument("--num-symbols", type=int, default=200,
                     dest="num_symbols")
+    sp.add_argument("--plot", default=None, help="save PAPR CCDF PNG")
     sp.set_defaults(fn=cmd_papr)
 
     return p

@@ -90,10 +90,11 @@ def test_cli_image_roundtrip(capsys, tmp_path):
     assert os.path.getsize(cmp_png) > 0
 
 
-def test_cli_papr(capsys):
+def test_cli_papr(capsys, tmp_path):
+    png = str(tmp_path / "ccdf.png")
     out = _run(capsys, ["papr", "--bandwidth", "1.25",
-                        "--num-symbols", "40"])
+                        "--num-symbols", "40", "--plot", png])
     r = json.loads(out)
-    text = json.dumps(r)
-    assert "sc-fdm" in text.lower() or "scfdm" in text.lower()
     # SC-FDM must show lower PAPR than plain OFDM (README.md:938-945)
+    assert r["QPSK/SC-FDM"]["mean_db"] < r["QPSK/OFDM"]["mean_db"]
+    assert os.path.getsize(png) > 0
