@@ -97,7 +97,7 @@ class OFDMSimulator:
 
     def simulate_siso_coded(self, bits: np.ndarray,
                             snr_db: float = 10.0,
-                            use_max_log: bool = None) -> Dict:
+                            use_max_log: Optional[bool] = None) -> Dict:
         """use_max_log: None follows coding.turbo.USE_MAX_LOG_MAP (the
         reference's set_decoder_mode global, turbo_decoder.py:33-55);
         False = exact Log-MAP."""

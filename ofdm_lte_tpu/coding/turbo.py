@@ -22,7 +22,7 @@ turbo_encoder.py and turbo_decoder.py:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Tuple, Optional
 
 import numpy as np
 import jax
@@ -168,7 +168,8 @@ def rsc_encode(bits: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         par = (fb + s0 + s2) % 2
         return (fb, s0, s1), (fb, par)
 
-    zero = jnp.zeros(lead, jnp.int32)
+    from ..vma import match_vma
+    zero = match_vma(jnp.zeros(lead, jnp.int32), b)   # shard_map scan carry
     state0 = (zero, zero, zero)
     bt = jnp.moveaxis(b, -1, 0)             # (K, ...)
     state, (sys, par) = jax.lax.scan(step, state0, bt)
@@ -284,8 +285,11 @@ def _bcjr(llr_sys: jnp.ndarray, llr_par: jnp.ndarray,
 
     gt = jnp.moveaxis(g, -3, 0)                              # (K', ..., 8, 2)
 
+    from ..vma import match_vma
     a0 = jnp.full(lead + (8,), _NEG, jnp.float32).at[..., 0].set(0.0)
     bK = jnp.full(lead + (8,), _NEG, jnp.float32).at[..., 0].set(0.0)
+    a0 = match_vma(a0, llr_sys)                       # shard_map scan carries
+    bK = match_vma(bK, llr_sys)
 
     if impl == "assoc":
         rows, srcs, ins = _edge_scatter()
@@ -347,7 +351,7 @@ def _bcjr(llr_sys: jnp.ndarray, llr_par: jnp.ndarray,
 
 def turbo_decode(llr_encoded: jnp.ndarray, K: int,
                  num_iterations: int = 5,
-                 use_max_log: bool = None) -> jnp.ndarray:
+                 use_max_log: Optional[bool] = None) -> jnp.ndarray:
     """Iterative turbo decode (max-log by default; exact log-MAP with
     use_max_log=False, or globally via set_decoder_mode).
 

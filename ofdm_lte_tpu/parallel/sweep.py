@@ -185,25 +185,32 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
                 lambda k, b: one_lane(k, b, snr))(ks, bs)
         )(keys, bits, snrs)
 
-        errors = jax.lax.psum(jnp.sum(errs, axis=1), axis)    # (S_local,)
+        # overflow-safe error reduction: the per-device count is bounded by
+        # F·n_bits (asserted < 2^31 below), but the cross-device psum of raw
+        # int32 counts overflows at ~25k frames of 20 MHz 64-QAM. Split into
+        # 16-bit halves, psum each, and recombine on the host in int64.
+        errs_local = jnp.sum(errs, axis=1)                    # (S_local,)
+        err_lo = jax.lax.psum(errs_local % 65536, axis)
+        err_hi = jax.lax.psum(errs_local // 65536, axis)
         papr = jax.lax.pmean(jnp.mean(paprs, axis=1), axis)   # (S_local,)
-        return errors, papr
+        return err_lo, err_hi, papr
+
+    if F * n_bits >= 2 ** 31:
+        raise ValueError(
+            f"frames_per_device={F} x {n_bits} bits/frame overflows the "
+            f"per-device int32 error counter; split into multiple sweeps")
 
     sharded = shard_map(
         per_device, mesh=mesh,
         in_specs=(P(), P(snr_axis)),
-        out_specs=(P(snr_axis), P(snr_axis)),
-        # the turbo codec's lax.scan carries start from constants (trellis
-        # state zero) which the varying-manual-axes checker flags even
-        # though every carry is genuinely per-device; the psum/pmean
-        # reductions below are the only cross-device communication
-        check_vma=False,
+        out_specs=(P(snr_axis), P(snr_axis), P(snr_axis)),
     )
-    errors, papr = jax.jit(sharded)(key, snr_work)
-    errors, papr = errors[:S], papr[:S]
+    err_lo, err_hi, papr = jax.jit(sharded)(key, snr_work)
+    errors = (np.asarray(err_hi[:S], np.int64) * 65536
+              + np.asarray(err_lo[:S], np.int64))
+    papr = papr[:S]
 
     frames_per_point = F * mc_size
-    total = jnp.full((S,), n_bits * frames_per_point, jnp.int64
-                     if jax.config.jax_enable_x64 else jnp.int32)
+    total = np.full((S,), np.int64(n_bits) * frames_per_point, np.int64)
     return SweepResult(snr_points, errors / total, errors, total, papr,
                        frames_per_point)

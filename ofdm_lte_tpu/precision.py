@@ -28,11 +28,17 @@ _LEVELS = {
 }
 
 
-def matmul_precision() -> jax.lax.Precision:
-    """Current policy (env is re-read so tests can flip it; jitted programs
-    bake the value at first trace)."""
+def matmul_precision_name() -> str:
+    """Current policy name (env re-read each call; jitted programs bake the
+    value at first trace — flip the env + jax.clear_caches() to change it
+    mid-process)."""
     name = os.environ.get("OFDM_LTE_TPU_MATMUL_PRECISION", "highest").lower()
     if name not in _LEVELS:
         raise ValueError(
             f"OFDM_LTE_TPU_MATMUL_PRECISION={name!r}; pick from {list(_LEVELS)}")
-    return _LEVELS[name]
+    return name
+
+
+def matmul_precision() -> jax.lax.Precision:
+    """Current policy as a jax.lax.Precision."""
+    return _LEVELS[matmul_precision_name()]

@@ -20,7 +20,7 @@ LLR generation) is a jitted XLA program.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -235,7 +235,7 @@ def simulate_siso_coded_batched(key: jax.Array, bits, snr_db,
                                 itu_profile: str = "Pedestrian_A",
                                 velocity_kmh: float = None,
                                 num_iterations: int = 8,
-                                use_max_log: bool = None) -> CodedBatchResult:
+                                use_max_log: Optional[bool] = None) -> CodedBatchResult:
     """Fully in-graph coded chain: bits (..., n_bits), snr_db scalar or
     (...,). Unlike `simulate_siso_coded` (host-orchestrated, one TB at a
     time — kept for exact reference-workflow parity), this compiles to a
@@ -258,7 +258,7 @@ def simulate_siso_coded(key: jax.Array, bits: np.ndarray, snr_db: float,
                         itu_profile: str = "Pedestrian_A",
                         velocity_kmh: float = None,
                         num_iterations: int = 8,
-                        use_max_log: bool = None) -> CodedResult:
+                        use_max_log: Optional[bool] = None) -> CodedResult:
     if use_max_log is None:
         use_max_log = turbo.USE_MAX_LOG_MAP
     use_max_log = bool(use_max_log)

@@ -29,6 +29,19 @@ from ..grid import grid_for
 PEAK_F32_FLOPS = 98.3e12 / 2        # MXU f32 ~ half of bf16 throughput
 PEAK_BF16_FLOPS = 197e12
 PEAK_HBM_BYTES_S = 819e9
+# Vector unit f32 peak (elementwise/transcendental work: RNG, noise add,
+# demap). Conservative estimate — the VPU is ~2 orders below the MXU.
+PEAK_VPU_FLOPS = 4e12
+
+# Effective MXU peak per matmul-precision policy (ofdm_lte_tpu.precision):
+# HIGHEST runs multi-pass bf16 decompositions for f32-grade results (the
+# empirically consistent rate on this backend is ~bf16/2), HIGH ~bf16x3,
+# DEFAULT is single-pass bf16.
+PEAK_MXU_BY_PRECISION = {
+    "highest": PEAK_F32_FLOPS,
+    "high": PEAK_BF16_FLOPS / 3,
+    "default": PEAK_BF16_FLOPS,
+}
 
 
 @contextlib.contextmanager
@@ -61,44 +74,79 @@ class KernelCost:
     name: str
     flops: float
     bytes: float
+    peak_flops: float = PEAK_F32_FLOPS   # unit this kernel's flops run on
 
-    def roofline_time_s(self, peak_flops=PEAK_F32_FLOPS,
-                        peak_bw=PEAK_HBM_BYTES_S) -> float:
-        return max(self.flops / peak_flops, self.bytes / peak_bw)
+    def roofline_time_s(self, peak_bw=PEAK_HBM_BYTES_S) -> float:
+        return max(self.flops / self.peak_flops, self.bytes / peak_bw)
 
 
-def _cmatmul_cost(name, m, k, n, dtype_bytes=4) -> KernelCost:
+def _cmatmul_cost(name, m, k, n, peak=PEAK_F32_FLOPS,
+                  dtype_bytes=4) -> KernelCost:
     """Complex matmul as 4 real matmuls: 8·m·k·n FLOPs; operands+result
     re/im pairs."""
     flops = 8.0 * m * k * n
     byts = dtype_bytes * 2 * (m * k + k * n + m * n)
-    return KernelCost(name, flops, byts)
+    return KernelCost(name, flops, byts, peak)
 
 
 def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
-                    lanes: int = 1) -> Dict[str, KernelCost]:
-    """Dominant-kernel cost model for one SISO frame batch."""
+                    lanes: int = 1,
+                    precision: str = "highest") -> Dict[str, KernelCost]:
+    """Complete-program cost model for one SISO frame batch: every stage the
+    program must execute at the speed-of-light of its unit (MXU matmuls,
+    VPU elementwise/RNG, HBM passes). A matmul-only model understates the
+    mandatory work — the AWGN channel alone is three full passes over the
+    time-domain signal plus two Gaussian draws per sample — and so reports
+    an artificially low roofline fraction for a program that is in fact
+    near the hardware bound.
+
+    Per-stage accounting (T = total time-domain samples, D = data symbols):
+    - tx_idft / rx_dft: the fused modem matmuls (MXU, precision-dependent
+      peak from PEAK_MXU_BY_PRECISION).
+    - awgn_channel: power-measure pass (3 flops + 8 B/sample read), RNG
+      (2 normals/sample, ~24 VPU flops each for counter-based bits +
+      Box-Muller transcendentals), fused scale-add-write (4 flops,
+      8 B read + 8 B write per sample).
+    - qam_demap: closed-form per-axis hard decision ~30 flops/symbol, plus
+      LLR-free bit emission (8 B/symbol in, bits out).
+    - estimate_zf: LS at pilots + lerp + per-bin complex divide,
+      ~14 flops/data bin + one H read.
+    """
     g = grid_for(config)
     S = lanes * num_symbols
     sps = config.samples_per_ofdm_symbol
+    T = S * sps                                   # time-domain samples
+    D = S * g.num_data                            # data QAM symbols
+    mxu = PEAK_MXU_BY_PRECISION.get(precision, PEAK_F32_FLOPS)
     costs = {
-        "tx_idft": _cmatmul_cost("tx_idft", S, g.num_data, sps),
-        "rx_dft_data": _cmatmul_cost("rx_dft_data", S, config.N, g.num_data),
+        "tx_idft": _cmatmul_cost("tx_idft", S, g.num_data, sps, mxu),
+        "rx_dft_data": _cmatmul_cost("rx_dft_data", S, config.N,
+                                     g.num_data, mxu),
         "rx_dft_pilot": _cmatmul_cost(
             "rx_dft_pilot", lanes * max(1, num_symbols // 14), config.N,
-            g.num_pilot),
+            g.num_pilot, mxu),
+        "awgn_channel": KernelCost(
+            "awgn_channel", flops=(3 + 2 * 24 + 4) * T,
+            bytes=(8 + 8 + 8) * T, peak_flops=PEAK_VPU_FLOPS),
+        "qam_demap": KernelCost("qam_demap", flops=30.0 * D,
+                                bytes=8.0 * D + D,
+                                peak_flops=PEAK_VPU_FLOPS),
+        "estimate_zf": KernelCost("estimate_zf", flops=14.0 * D,
+                                  bytes=8.0 * D,
+                                  peak_flops=PEAK_VPU_FLOPS),
     }
     return costs
 
 
 def roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
                     measured_step_s: float,
-                    peak_flops=PEAK_F32_FLOPS) -> Dict:
-    costs = siso_frame_cost(config, num_symbols, lanes)
+                    precision: str = "highest") -> Dict:
+    costs = siso_frame_cost(config, num_symbols, lanes, precision)
     total_flops = sum(c.flops for c in costs.values())
     total_bytes = sum(c.bytes for c in costs.values())
-    t_roofline = sum(c.roofline_time_s(peak_flops) for c in costs.values())
+    t_roofline = sum(c.roofline_time_s() for c in costs.values())
     return {
+        "precision": precision,
         "modeled_gflops": total_flops / 1e9,
         "modeled_gbytes": total_bytes / 1e9,
         "roofline_s": t_roofline,
@@ -107,4 +155,6 @@ def roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
         if measured_step_s else 0.0,
         "achieved_tflops": total_flops / measured_step_s / 1e12
         if measured_step_s else 0.0,
+        "per_kernel_us": {k: round(c.roofline_time_s() * 1e6, 1)
+                          for k, c in costs.items()},
     }

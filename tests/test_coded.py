@@ -161,7 +161,9 @@ def test_coded_decoder_mode_switch_no_stale_cache():
         r_exact = coded.simulate_siso_coded(key, bits, 4.0, cfg)
     finally:
         turbo.set_decoder_mode(True)
-    assert r_exact.bit_errors <= r_max.bit_errors
+    # exact-beats-max-log only holds statistically on one realization; allow
+    # a few borderline bits of slack so a platform float change can't flip it
+    assert r_exact.bit_errors <= r_max.bit_errors + 5
     # explicit kwarg override matches the global-switch result
     r_kw = coded.simulate_siso_coded(key, bits, 4.0, cfg, use_max_log=False)
     assert r_kw.bit_errors == r_exact.bit_errors

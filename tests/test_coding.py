@@ -236,6 +236,29 @@ def test_turbo_decode_logmap_matches_reference(rng):
     np.testing.assert_array_equal(got_scan, ref)
 
 
+def test_turbo_decode_matches_reference_at_max_K(rng):
+    """Hard-output parity at the LARGEST interleaver size (K=6144) in both
+    semirings — the float32 assoc-scan prefix products round differently
+    from the reference's float64 sequential max*, so agreement at K=40 does
+    not by itself establish it at 6144 (PARITY.md's claim)."""
+    from core.channel_coding import turbo_decoder as ref_td
+    K = 6144
+    bits = rng.integers(0, 2, K).astype(np.int32)
+    enc = np.asarray(turbo.turbo_encode(jnp.asarray(bits), K)).astype(float)
+    y = 1.0 - 2.0 * enc + 0.5 * rng.standard_normal(enc.shape)
+    llr = 2.0 * y / 0.25
+    for use_max_log in (True, False):
+        ref_td.USE_MAX_LOG_MAP = use_max_log
+        try:
+            ref = ref_td.turbo_decode(llr, K, num_iterations=2)
+        finally:
+            ref_td.USE_MAX_LOG_MAP = True
+        got = np.asarray(turbo.turbo_decode(jnp.asarray(llr, jnp.float32),
+                                            K, num_iterations=2,
+                                            use_max_log=use_max_log))
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_set_decoder_mode_global_switch():
     """set_decoder_mode flips the module default like the reference's
     global USE_MAX_LOG_MAP (turbo_decoder.py:35-55)."""
