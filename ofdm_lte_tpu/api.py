@@ -97,13 +97,15 @@ class OFDMSimulator:
 
     def simulate_siso_coded(self, bits: np.ndarray,
                             snr_db: float = 10.0,
-                            use_max_log: Optional[bool] = None) -> Dict:
+                            use_max_log: Optional[bool] = None,
+                            rv: int = 0) -> Dict:
         """use_max_log: None follows coding.turbo.USE_MAX_LOG_MAP (the
         reference's set_decoder_mode global, turbo_decoder.py:33-55);
-        False = exact Log-MAP."""
+        False = exact Log-MAP. rv: redundancy version 0-3
+        (rate_matching.py:280-296)."""
         r = _coded.simulate_siso_coded(self._next_key(), bits, float(snr_db),
                                        self.config,
-                                       use_max_log=use_max_log, **{
+                                       use_max_log=use_max_log, rv=rv, **{
                                            k: v for k, v in
                                            self._chan_kwargs().items()
                                            if k != "frequency_ghz"})

@@ -167,3 +167,50 @@ def test_coded_decoder_mode_switch_no_stale_cache():
     # explicit kwarg override matches the global-switch result
     r_kw = coded.simulate_siso_coded(key, bits, 4.0, cfg, use_max_log=False)
     assert r_kw.bit_errors == r_exact.bit_errors
+
+
+class TestRedundancyVersionsAndHarq:
+    """rv>0 through the full chain + HARQ chase combining (the reference
+    exposes rv in rate_matching.py:280-296 but never wires it into
+    simulate_siso_coded; here it is a first-class chain parameter)."""
+
+    def test_rv_roundtrip_noiseless(self):
+        cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+        rng = np.random.default_rng(5)
+        bits = rng.integers(0, 2, 1000).astype(np.uint8)
+        for rv in (1, 2, 3):
+            r = coded.simulate_siso_coded(jax.random.PRNGKey(rv), bits,
+                                          30.0, cfg, rv=rv)
+            assert r.crc_pass and r.ber == 0.0, rv
+
+    def test_rv_batched_noiseless(self):
+        cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+        rng = np.random.default_rng(6)
+        bits = jnp.asarray(rng.integers(0, 2, (4, 1000)).astype(np.int32))
+        r = coded.simulate_siso_coded_batched(
+            jax.random.PRNGKey(6), bits, 30.0, cfg, rv=2)
+        assert bool(jnp.all(r.crc_pass))
+        assert bool(jnp.all(r.bit_errors == 0))
+
+    def test_harq_chase_combining_recovers_low_snr(self):
+        """At 2 dB a single QPSK transmission sits far below the turbo
+        waterfall (~4-5 dB in this chain's convention) and must fail; four
+        chase-combined transmissions add ~6 dB of effective SNR and must
+        decode clean."""
+        cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+        rng = np.random.default_rng(7)
+        bits = rng.integers(0, 2, 1000).astype(np.uint8)
+        r = coded.simulate_siso_coded_harq(
+            jax.random.PRNGKey(7), bits, 2.0, cfg, rv_sequence=(0, 1, 2, 3))
+        assert r.crc_history[0] is False        # 1st transmission fails
+        assert r.crc_pass and r.ber == 0.0      # combining recovers
+        assert 2 <= r.num_transmissions <= 4
+        assert r.rv_history == (0, 1, 2, 3)[:r.num_transmissions]
+
+    def test_harq_single_transmission_at_high_snr(self):
+        cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+        rng = np.random.default_rng(8)
+        bits = rng.integers(0, 2, 1000).astype(np.uint8)
+        r = coded.simulate_siso_coded_harq(
+            jax.random.PRNGKey(8), bits, 30.0, cfg)
+        assert r.num_transmissions == 1 and r.crc_pass and r.ber == 0.0
