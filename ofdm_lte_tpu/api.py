@@ -176,18 +176,55 @@ class OFDMSimulator:
                              num_tx: int = 2, num_rx: int = 1,
                              codebook_type: str = "TM6",
                              velocity_kmh: float = 3.0,
-                             update_mode: str = "adaptive") -> Dict:
+                             update_mode: str = "adaptive",
+                             channel_model: str = "static") -> Dict:
+        """channel_model: 'static' reproduces the reference exactly (one
+        constant H per call, ofdm_core.py:2347-2349 — so the per-symbol PMI
+        history is S identical entries, as the reference's per-symbol
+        feedback loop produces on a constant channel); 'jakes' drives a
+        time-varying channel with the precoder recomputed every
+        update_period_symbols(velocity) — the AdaptiveBeamforming cadence
+        (beamforming_precoder.py:202-293) actually exercised."""
+        from .mimo import beamforming as _bfp
+        from .mimo import csi as _csi
         bits = np.asarray(bits).astype(np.int32)
         n = len(bits)
         per = _bf.bits_per_frame(self.config, 1)
         S = int(np.ceil(n / per))
         padded = np.zeros(S * per, np.int32)
         padded[:n] = bits
-        r = _bf.simulate_beamforming(self._next_key(), jnp.asarray(padded),
-                                     float(snr_db), self.config,
-                                     num_tx=num_tx, num_rx=num_rx,
-                                     codebook_type=codebook_type,
-                                     update_mode=update_mode)
+
+        if channel_model == "jakes":
+            from .config import doppler_hz as _doppler
+            period = _bfp.update_period_symbols(velocity_kmh,
+                                                self.frequency_ghz)
+            r = _bf.simulate_beamforming_time_varying(
+                self._next_key(), jnp.asarray(padded), float(snr_db),
+                self.config, num_tx=num_tx, num_rx=num_rx,
+                codebook_type=codebook_type, update_mode=update_mode,
+                update_period=period,
+                doppler_hz=float(_doppler(velocity_kmh,
+                                          self.frequency_ghz)))
+            pmi_history = [int(p) for p in np.asarray(r.pmi_history)]
+            gain_db = float(r.beamforming_gain_db)
+            extra = {"update_period_symbols": int(r.update_period),
+                     "gain_history_db": np.asarray(r.gain_history_db)}
+        elif channel_model == "static":
+            r = _bf.simulate_beamforming(self._next_key(),
+                                         jnp.asarray(padded),
+                                         float(snr_db), self.config,
+                                         num_tx=num_tx, num_rx=num_rx,
+                                         codebook_type=codebook_type,
+                                         update_mode=update_mode)
+            # constant H -> the reference's per-symbol feedback loop logs
+            # the same PMI once per OFDM symbol (ofdm_core.py:2366-2369)
+            pmi_history = [int(r.pmi)] * S
+            gain_db = float(r.beamforming_gain_db)
+            extra = {}
+        else:
+            raise ValueError(f"unknown channel_model {channel_model!r}")
+
+        stats = _csi.pmi_statistics(pmi_history, num_tx, codebook_type)
         bits_rx = self._trim(np.asarray(r.bits_rx), n)
         errors = int(np.sum(bits_rx != bits))
         res = {
@@ -196,9 +233,12 @@ class OFDMSimulator:
             "errors": errors, "ber": errors / n, "snr_db": float(snr_db),
             "num_tx": num_tx, "num_rx": num_rx, "mode": "Beamforming",
             "codebook_type": codebook_type,
-            "beamforming_gain_db": float(r.beamforming_gain_db),
-            "pmi_history": [int(r.pmi)], "unique_pmis": 1,
+            "beamforming_gain_db": gain_db,
+            "pmi_history": pmi_history,
+            "unique_pmis": stats["unique_pmis"],
+            "pmi_statistics": stats,
             "velocity_kmh": velocity_kmh,
+            **extra,
         }
         self.last_results = res
         return res

@@ -172,6 +172,45 @@ def flat_mimo_matrix(key: jax.Array, num_rx: int, num_tx: int,
     return _cn01(key, batch_shape + (num_rx, num_tx))
 
 
+def flat_mimo_time_varying(key: jax.Array, num_rx: int, num_tx: int,
+                           num_symbols: int, doppler_hz: float,
+                           symbol_duration_s: float = 1.0 / 15000.0,
+                           batch_shape: tuple = ()) -> C:
+    """Jakes-evolved flat MIMO channel H[..., s, rx, tx] sampled once per
+    OFDM symbol — the time-varying channel the reference's
+    AdaptiveBeamforming is DESIGNED for but never receives (its
+    simulate_beamforming draws one constant H per call,
+    /root/reference/core/ofdm_core.py:2347-2349, while
+    beamforming_precoder.py:202-293 recomputes W every ~0.1·Tc).
+
+    Each (rx, tx) element fades independently with the same Jakes
+    sum-of-sinusoids model as the multipath taps, normalized to a unit-power
+    stationary marginal (E|h|²=1, matching flat_mimo_matrix's CN(0,1)
+    statistics — NOT the multipath path's preserved E|h|²=2 reference
+    quirk, since this extension has no reference output to match).
+    symbol_duration_s defaults to the reference's 1/15 kHz convention
+    (beamforming_precoder.py:253-255), independent of bandwidth.
+
+    One complex matmul: E (S, Ns) @ P (Ns, batch·rx·tx).
+    """
+    S, ns = num_symbols, N_SINUSOIDS
+    t = jnp.arange(S, dtype=jnp.float32) * symbol_duration_s
+    alpha = 2.0 * np.pi * np.arange(1, ns + 1) / ns
+    omega = (2.0 * np.pi * doppler_hz * np.cos(alpha)).astype(np.float32)
+    E = cplx.expi(t[:, None] * omega[None, :])                # (S, Ns)
+
+    L = int(np.prod(batch_shape, dtype=int)) * num_rx * num_tx
+    phi = jax.random.uniform(key, (ns, L), jnp.float32, 0.0, 2.0 * np.pi)
+    P = cplx.expi(phi)                                        # (Ns, L)
+
+    H = cplx.matmul(E, P, precision=matmul_precision()) * np.sqrt(1.0 / ns)
+    H = H.reshape((S,) + batch_shape + (num_rx, num_tx))      # (S, ..., r, t)
+    # batch axes lead: (..., S, rx, tx)
+    perm = tuple(range(1, 1 + len(batch_shape))) + (0,) + (
+        1 + len(batch_shape), 2 + len(batch_shape))
+    return H.transpose(*perm)
+
+
 def impulse_response(key: jax.Array, profile: MultipathProfile):
     """One instantaneous complex tap per path: (delays_samples, taps C)
     (/root/reference/core/rayleighchannel.py:95-109)."""

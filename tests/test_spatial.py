@@ -139,3 +139,126 @@ def test_spatial_sic_beats_zf_at_moderate_snr():
             e[det] += int(r.bit_errors)
         t += len(bits)
     assert e["SIC"] <= e["ZF"] * 1.1, e
+
+
+class TestTimeVaryingBeamforming:
+    """AdaptiveBeamforming cadence driven by a Jakes time-varying channel
+    (reference intent: beamforming_precoder.py:202-293; its own sim holds H
+    constant, so the cadence logic is only observable here)."""
+
+    def test_stationary_statistics_match_flat(self):
+        """Jakes-evolved H has unit-power CN-like marginals: mean realized
+        MRT gain with per-symbol updates ≈ 10·log10(num_tx)."""
+        from ofdm_lte_tpu.config import doppler_hz
+        cfg = LTEConfig(bandwidth=1.25, modulation="QPSK")
+        bits = np.random.default_rng(0).integers(
+            0, 2, (16, bfs.bits_per_frame(cfg, 28))).astype(np.int32)
+        r = bfs.simulate_beamforming_time_varying(
+            jax.random.PRNGKey(0), jnp.asarray(bits), 15.0, cfg,
+            num_tx=4, num_rx=1, update_period=1,
+            doppler_hz=float(doppler_hz(120.0, 2.0)))
+        mean_gain = float(jnp.mean(r.beamforming_gain_db))
+        assert abs(mean_gain - 10 * np.log10(4)) < 1.0, mean_gain
+        assert r.pmi_history.shape == (16, 28)
+
+    def test_stale_precoder_degrades_and_cadence_recovers(self):
+        """At Veh-B Doppler (120 km/h, f_D=222 Hz) a W computed once at t=0
+        decorrelates from H(t): realized gain and BER degrade vs the
+        0.1·Tc cadence (update every symbol at this speed,
+        BEAMFORMING_IMPLEMENTATION_SUMMARY.md:175-179)."""
+        from ofdm_lte_tpu.config import doppler_hz
+        from ofdm_lte_tpu.mimo import beamforming as bfp
+        cfg = LTEConfig(bandwidth=1.25, modulation="16-QAM")
+        S = 140
+        fd = float(doppler_hz(120.0, 2.0))
+        assert bfp.update_period_symbols(120.0, 2.0) == 1
+        bits = np.random.default_rng(1).integers(
+            0, 2, (8, bfs.bits_per_frame(cfg, S))).astype(np.int32)
+        kwargs = dict(num_tx=4, num_rx=1, doppler_hz=fd)
+        r_stale = bfs.simulate_beamforming_time_varying(
+            jax.random.PRNGKey(1), jnp.asarray(bits), 14.0, cfg,
+            update_period=S, **kwargs)      # W only at t=0 (never refreshed)
+        r_cad = bfs.simulate_beamforming_time_varying(
+            jax.random.PRNGKey(1), jnp.asarray(bits), 14.0, cfg,
+            update_period=1, **kwargs)      # proper cadence
+        g_stale = float(jnp.mean(r_stale.beamforming_gain_db))
+        g_cad = float(jnp.mean(r_cad.beamforming_gain_db))
+        ber_stale = float(jnp.mean(r_stale.ber))
+        ber_cad = float(jnp.mean(r_cad.ber))
+        assert g_cad > g_stale + 2.0, (g_cad, g_stale)
+        assert ber_cad < ber_stale, (ber_cad, ber_stale)
+        # a stale MRT precoder on a decorrelated channel keeps no array
+        # gain: its time-averaged realized gain collapses toward 0 dB
+        assert g_stale < 2.5, g_stale
+
+    def test_low_velocity_slow_cadence_is_enough(self):
+        """At Ped-A 3 km/h (f_D 5.6 Hz, Tc = 9/(16π·f_D) ≈ 32 ms -> update
+        every ~48 symbols) the channel barely moves between updates: the
+        slow cadence loses <1 dB vs per-symbol updates."""
+        from ofdm_lte_tpu.config import doppler_hz
+        from ofdm_lte_tpu.mimo import beamforming as bfp
+        cfg = LTEConfig(bandwidth=1.25, modulation="QPSK")
+        S = 140
+        period = bfp.update_period_symbols(3.0, 2.0)
+        assert period == 48                  # 0.1·Tc / 66.7 µs
+        fd = float(doppler_hz(3.0, 2.0))
+        bits = np.random.default_rng(2).integers(
+            0, 2, (8, bfs.bits_per_frame(cfg, S))).astype(np.int32)
+        r_slow = bfs.simulate_beamforming_time_varying(
+            jax.random.PRNGKey(2), jnp.asarray(bits), 12.0, cfg,
+            num_tx=4, num_rx=1, update_period=period, doppler_hz=fd)
+        r_fast = bfs.simulate_beamforming_time_varying(
+            jax.random.PRNGKey(2), jnp.asarray(bits), 12.0, cfg,
+            num_tx=4, num_rx=1, update_period=1, doppler_hz=fd)
+        g_slow = float(jnp.mean(r_slow.beamforming_gain_db))
+        g_fast = float(jnp.mean(r_fast.beamforming_gain_db))
+        assert g_fast - g_slow < 1.0, (g_fast, g_slow)
+
+    def test_codebook_mode_pmi_history_varies(self):
+        """On a moving channel the per-symbol PMI history contains multiple
+        distinct PMIs, and pmi_statistics aggregates it (the reference's
+        csi_feedback.py:192-228 over a real history, not a constant)."""
+        from ofdm_lte_tpu.config import doppler_hz
+        from ofdm_lte_tpu.mimo import csi
+        cfg = LTEConfig(bandwidth=1.25, modulation="QPSK")
+        bits = np.random.default_rng(3).integers(
+            0, 2, bfs.bits_per_frame(cfg, 140)).astype(np.int32)
+        r = bfs.simulate_beamforming_time_varying(
+            jax.random.PRNGKey(3), jnp.asarray(bits), 10.0, cfg,
+            num_tx=2, num_rx=1, update_mode="codebook", update_period=1,
+            doppler_hz=float(doppler_hz(120.0, 2.0)))
+        hist = np.asarray(r.pmi_history)
+        assert hist.shape == (140,)
+        stats = csi.pmi_statistics(hist, 2, "TM6")
+        assert stats["unique_pmis"] >= 2
+        assert stats["total_feedbacks"] == 140
+        assert stats["pmi_distribution"].sum() == 140
+
+    def test_api_jakes_channel_model(self):
+        from ofdm_lte_tpu.api import OFDMSimulator
+        sim = OFDMSimulator(LTEConfig(bandwidth=1.25, modulation="QPSK"))
+        bits = np.random.default_rng(4).integers(0, 2, 5000)
+        res = sim.simulate_beamforming(bits, snr_db=15.0, num_tx=2,
+                                       num_rx=1, velocity_kmh=120.0,
+                                       update_mode="codebook",
+                                       channel_model="jakes")
+        assert res["update_period_symbols"] == 1
+        assert len(res["pmi_history"]) >= 2
+        assert res["unique_pmis"] >= 1
+        assert res["pmi_statistics"]["total_feedbacks"] == len(
+            res["pmi_history"])
+
+    def test_api_static_history_matches_reference_shape(self):
+        """Static channel: per-symbol history of identical PMIs (the
+        reference appends one PMI per OFDM symbol, ofdm_core.py:2366-2369)
+        and unique_pmis == 1 — now computed, not hardcoded."""
+        from ofdm_lte_tpu.api import OFDMSimulator
+        cfg = LTEConfig(bandwidth=1.25, modulation="QPSK")
+        sim = OFDMSimulator(cfg)
+        bits = np.random.default_rng(5).integers(0, 2, 5000)
+        res = sim.simulate_beamforming(bits, snr_db=15.0, num_tx=2,
+                                       num_rx=1, update_mode="static")
+        S = int(np.ceil(5000 / bfs.bits_per_frame(cfg, 1)))
+        assert len(res["pmi_history"]) == S
+        assert len(set(res["pmi_history"])) == 1
+        assert res["unique_pmis"] == 1
