@@ -98,3 +98,19 @@ def test_cli_papr(capsys, tmp_path):
     # SC-FDM must show lower PAPR than plain OFDM (README.md:938-945)
     assert r["QPSK/SC-FDM"]["mean_db"] < r["QPSK/OFDM"]["mean_db"]
     assert os.path.getsize(png) > 0
+
+
+def test_cli_bfcompare(capsys, tmp_path):
+    """Beamforming-vs-SFBC comparison grid (published-table workflow of the
+    Beamforming GUI, results/beamforming/resultados_comparacion.txt)."""
+    table = tmp_path / "bfc.txt"
+    out = _run(capsys, ["bfcompare", "--num-bits", "12000", "--lanes", "4",
+                        "--output", str(table)])
+    data = json.loads(out[:out.rindex("}") + 1])
+    rows = data["rows"]
+    assert len(rows) == 12                 # 3 RX x (1 SFBC + 3 BF)
+    bf_rows = [r for r in rows if r["kind"] == "bf"]
+    assert all("published_ber" in r for r in bf_rows)
+    assert all("gain_db" in r for r in bf_rows)
+    txt = table.read_text()
+    assert "8x4 Beamforming" in txt and "Array Gain" in txt

@@ -262,3 +262,69 @@ class TestTimeVaryingBeamforming:
         assert len(res["pmi_history"]) == S
         assert len(set(res["pmi_history"])) == 1
         assert res["unique_pmis"] == 1
+
+
+class TestBeamformingComparisonGrid:
+    """The published beamforming-vs-SFBC table reproduced end-to-end
+    (results/beamforming/resultados_comparacion.txt; full-payload artifact:
+    results/beamforming_comparison.txt via `cli bfcompare`)."""
+
+    def test_published_rows_inside_mc_spread(self):
+        """Each published beamforming BER (a single-H-realization sample,
+        ofdm_core.py:2347-2349) must fall inside our simulated conditional-
+        BER spread over independent channel realizations."""
+        from ofdm_lte_tpu.cli import run_bf_comparison, \
+            PUBLISHED_BF_COMPARISON
+        cfg = LTEConfig(bandwidth=10.0, modulation="64-QAM")
+        bits = np.random.default_rng(0).integers(0, 2, 60000).astype(
+            np.int32)
+        # 64 realizations: the published 4x1 row is a ~5% channel-power
+        # tail event (BER worse than 2x1 despite 6 dB array gain), which a
+        # dozen lanes miss ~40% of the time; fixed seed keeps this exact
+        rows = run_bf_comparison(bits, 15.0, cfg, lanes=64, seed=0)
+        checked = 0
+        for row in rows:
+            pub = PUBLISHED_BF_COMPARISON.get(
+                (row["kind"], row["num_tx"], row["num_rx"]))
+            if pub is None or row["kind"] != "bf":
+                continue
+            # pad the spread by one MC standard deviation of the published
+            # point estimate (binomial, 1.62e6 bits) + our 60k-bit grain
+            grain = max(3.0 / 60000,
+                        3 * np.sqrt(pub["ber"] * (1 - pub["ber"]) / 60000))
+            assert row["ber_min"] - grain <= pub["ber"] \
+                <= row["ber_max"] + grain, (row["name"], pub, row["ber_min"],
+                                            row["ber_max"])
+            checked += 1
+        assert checked == 9                   # {2,4,8}TX x {1,2,4}RX
+
+    def test_array_gain_means_match_published(self):
+        """Mean MRT array gain over realizations ≈ 10·log10(num_tx) for
+        num_rx=1 — the published 3.01 / 6.02 / 9.03 dB rows."""
+        from ofdm_lte_tpu.cli import run_bf_comparison
+        cfg = LTEConfig(bandwidth=10.0, modulation="64-QAM")
+        bits = np.random.default_rng(1).integers(0, 2, 12000).astype(
+            np.int32)
+        rows = run_bf_comparison(bits, 15.0, cfg, lanes=24, rx_list=(1,),
+                                 seed=1)
+        for row in rows:
+            if row["kind"] != "bf":
+                continue
+            expected = 10 * np.log10(row["num_tx"])
+            assert abs(row["gain_db"] - expected) < 1.2, (row["name"],
+                                                          row["gain_db"])
+
+    def test_sfbc_baseline_same_order_as_published(self):
+        """The published SFBC 2x1 row (6.2885e-2) came from a code state
+        whose MISO path no longer runs (it crashes as-shipped, PARITY.md
+        divergence 1); our intended-behavior implementation must land in
+        the same order of magnitude on the same deterministic channel."""
+        from ofdm_lte_tpu.cli import run_bf_comparison
+        cfg = LTEConfig(bandwidth=10.0, modulation="64-QAM")
+        bits = np.random.default_rng(2).integers(0, 2, 60000).astype(
+            np.int32)
+        rows = run_bf_comparison(bits, 15.0, cfg, lanes=2, rx_list=(1,),
+                                 tx_list=(), seed=2)
+        (row,) = rows
+        assert row["kind"] == "sfbc"
+        assert 0.02 < row["ber"] < 0.13, row["ber"]
