@@ -12,13 +12,10 @@ budget is checked against a conservative per-entry estimate and the entry is
 skipped-and-recorded instead of started when it cannot fit.
 
 A frame is one 14-symbol LTE subframe. Baseline denominators are the
-reference NumPy implementation measured on this machine (BASELINE.md):
-  simulate_siso 20 MHz 64-QAM AWGN            = 3.581 frames/s
-  simulate_spatial_multiplexing 2x2 MMSE      = 1.472 frames/s
-  simulate_siso SC-FDM 5 MHz 16-QAM AWGN      = 17.604 frames/s
-  simulate_simo 1x4 QPSK 5 MHz Rayleigh Ped-A = 8.798 frames/s
-(SC-FDM / SIMO rows measured by tools/measure_reference_baseline.py;
-see BASELINE.md "Measured on this machine".)
+reference NumPy implementation measured on this machine by
+tools/measure_reference_baseline.py — see the REF_* constants below and
+BASELINE.md "Measured on this machine" for both measurement dates (the
+conservative, higher frames/s of the two is used).
 """
 import json
 import os
@@ -41,8 +38,11 @@ try:
 except Exception:
     pass
 
-REF_SISO_FPS = 3.581       # 20 MHz 64-QAM AWGN
-REF_SPATIAL_FPS = 1.472    # 20 MHz 64-QAM 2x2 rank-2 MMSE
+# Denominators: the HIGHER (conservative) of the two measurement dates in
+# BASELINE.md "Measured on this machine" — re-measure with
+# tools/measure_reference_baseline.py.
+REF_SISO_FPS = 4.135       # 20 MHz 64-QAM AWGN
+REF_SPATIAL_FPS = 1.965    # 20 MHz 64-QAM 2x2 rank-2 MMSE
 REF_SCFDM_FPS = 17.604     # 5 MHz 16-QAM SC-FDM AWGN (BASELINE.md)
 REF_SIMO_FPS = 8.798       # 5 MHz QPSK 1x4 Rayleigh Ped-A (BASELINE.md)
 REF_CODED_TBPS = 0.147     # 6000-bit TB, QPSK 5 MHz @5 dB, 8 iterations
