@@ -68,13 +68,17 @@ def scaling_efficiency(config, device_counts: Sequence[int],
                       frames_per_device=frames_per_device,
                       num_ofdm_symbols=num_ofdm_symbols, mesh=mesh)
         jax.block_until_ready(r.ber)
-        t0 = time.perf_counter()
+        # best-of-n steps: min dt is robust against host scheduling noise
+        # (the virtual CPU mesh multiplexes devices onto few cores, so a
+        # mean absorbs GC pauses and dispatch jitter into the "scaling")
+        dt = float("inf")
         for i in range(n_steps):
+            t0 = time.perf_counter()
             r = ber_sweep(jax.random.fold_in(key, i), config, [snr_db],
                           frames_per_device=frames_per_device,
                           num_ofdm_symbols=num_ofdm_symbols, mesh=mesh)
-        jax.block_until_ready(r.ber)
-        dt = (time.perf_counter() - t0) / n_steps
+            jax.block_until_ready(r.ber)
+            dt = min(dt, time.perf_counter() - t0)
         frames = frames_per_device * n
         rate_per_dev = frames / dt / n
         if base_rate is None:

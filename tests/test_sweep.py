@@ -1,4 +1,6 @@
 """Sharded Monte-Carlo BER sweep on the virtual 8-device CPU mesh."""
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -39,15 +41,26 @@ def test_sweep_single_device_matches_mesh_statistics():
 
 
 def test_scaling_efficiency_on_virtual_mesh():
+    """BASELINE.md:37 target: >=85% samples/s scaling efficiency. Measured
+    on the 1/2/4/8-device virtual CPU mesh (proxy for multi-chip; on-chip
+    batch scaling is bench.py's siso_batch_scaling entry) with best-of-step
+    timing; numbers persisted to results/scaling_efficiency.json."""
+    import json
     from ofdm_lte_tpu import LTEConfig
     from ofdm_lte_tpu.parallel import distributed
     distributed.initialize()   # single-host no-op
-    r = distributed.scaling_efficiency(LTEConfig(bandwidth=1.25), [1, 8],
-                                       frames_per_device=2, n_steps=2)
-    assert 8 in r
-    # >=85% per-device efficiency at 8 devices (driver target; virtual CPU
-    # mesh is a proxy for multi-chip)
-    assert r[8]["efficiency"] > 0.6   # CPU-mesh timing noise allowance
+    r = distributed.scaling_efficiency(LTEConfig(bandwidth=1.25),
+                                       [1, 2, 4, 8],
+                                       frames_per_device=4, n_steps=4)
+    assert set(r) == {1, 2, 4, 8}
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "results", "scaling_efficiency.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({str(k): {m: round(x, 4) for m, x in v.items()}
+                   for k, v in r.items()}, f, indent=2)
+    for n in (2, 4, 8):
+        assert r[n]["efficiency"] >= 0.85, (n, r[n])
 
 
 def test_all_modulations_sweep():
