@@ -479,6 +479,20 @@ def main():
     _run_entry(f"siso_20MHz_64QAM_{alt}_precision",
                lambda: _alt_precision_siso(cfg, alt), est_s=500)
 
+    # parity guard: identical bits+key, only matmul rounding differs
+    # between the two precision entries — BERs must agree tightly
+    alt_entry = _details.get(f"siso_20MHz_64QAM_{alt}_precision", {})
+    if "ber_at_15db" in alt_entry:
+        delta = abs(alt_entry["ber_at_15db"] - siso_ber)
+        _record("precision_parity", {
+            "ber_default_mode": siso_ber if precision == "default"
+            else alt_entry["ber_at_15db"],
+            "ber_highest_mode": alt_entry["ber_at_15db"]
+            if alt == "highest" else siso_ber,
+            "abs_delta": delta,
+            "parity_ok": bool(delta < 0.02 * max(siso_ber, 1e-6)),
+        })
+
     def spatial_entry():
         fps = bench_spatial(cfg)
         return {"frames_per_s": round(fps, 2),

@@ -23,8 +23,10 @@ multiplies against precomputed DFT submatrices instead of an FFT call —
 A complex matmul runs as 4 real f32 MXU matmuls (see cplx.matmul). For the
 sizes involved (N ≤ 2048, thousands of symbols per batch) this beats an FFT
 network on the MXU and — on this backend, which exposes no FFT primitive —
-it is also the only option. Default precision is HIGHEST for numerical parity
-with the reference's float64 NumPy FFTs.
+it is also the only option. Matmul precision follows the process-level
+policy in ofdm_lte_tpu.precision (supported default: single-pass bf16,
+measured BER-identical to the f32 `highest` parity mode — see that module's
+docstring for the measured deltas).
 """
 from __future__ import annotations
 

@@ -117,6 +117,7 @@ def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
     sps = config.samples_per_ofdm_symbol
     T = S * sps                                   # time-domain samples
     D = S * g.num_data                            # data QAM symbols
+    bits_per = config.bits_per_symbol
     mxu = PEAK_MXU_BY_PRECISION.get(precision, PEAK_F32_FLOPS)
     costs = {
         "tx_idft": _cmatmul_cost("tx_idft", S, g.num_data, sps, mxu),
@@ -128,12 +129,27 @@ def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
         "awgn_channel": KernelCost(
             "awgn_channel", flops=(3 + 2 * 24 + 4) * T,
             bytes=(8 + 8 + 8) * T, peak_flops=PEAK_VPU_FLOPS),
+        "papr": KernelCost(
+            # |x|² + max/mean reductions over the full TX signal
+            # (ofdm.papr_db): one read of the complex signal, 4 flops/sample
+            "papr", flops=4.0 * T, bytes=8.0 * T,
+            peak_flops=PEAK_VPU_FLOPS),
+        "qam_map": KernelCost(
+            # bits (int32, simulate_siso's public contract) -> symbols:
+            # read bps ints per symbol, closed-form per-axis map
+            "qam_map", flops=10.0 * D, bytes=4.0 * bits_per * D + 8.0 * D,
+            peak_flops=PEAK_VPU_FLOPS),
         "qam_demap": KernelCost("qam_demap", flops=30.0 * D,
-                                bytes=8.0 * D + D,
+                                bytes=8.0 * D + 4.0 * bits_per * D,
                                 peak_flops=PEAK_VPU_FLOPS),
         "estimate_zf": KernelCost("estimate_zf", flops=14.0 * D,
                                   bytes=8.0 * D,
                                   peak_flops=PEAK_VPU_FLOPS),
+        "bit_error_count": KernelCost(
+            # compare RX bits vs TX bits + psum-style reduction: two int32
+            # bit-array reads (the dominant bit-domain traffic)
+            "bit_error_count", flops=2.0 * bits_per * D,
+            bytes=2 * 4.0 * bits_per * D, peak_flops=PEAK_VPU_FLOPS),
     }
     return costs
 

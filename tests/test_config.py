@@ -48,9 +48,12 @@ def test_hashable_static():
 def test_matmul_precision_knob(monkeypatch):
     import jax
     from ofdm_lte_tpu.precision import matmul_precision
-    assert matmul_precision() == jax.lax.Precision.HIGHEST  # parity default
-    monkeypatch.setenv("OFDM_LTE_TPU_MATMUL_PRECISION", "default")
+    monkeypatch.delenv("OFDM_LTE_TPU_MATMUL_PRECISION", raising=False)
+    # supported default: single-pass bf16 (BER-identical to highest on
+    # chip, 1.8x faster — VALIDATION.md precision table); inert on CPU
     assert matmul_precision() == jax.lax.Precision.DEFAULT
+    monkeypatch.setenv("OFDM_LTE_TPU_MATMUL_PRECISION", "highest")
+    assert matmul_precision() == jax.lax.Precision.HIGHEST  # parity mode
     monkeypatch.setenv("OFDM_LTE_TPU_MATMUL_PRECISION", "bogus")
     import pytest
     with pytest.raises(ValueError):
