@@ -219,8 +219,10 @@ def bench_siso(cfg, snr_db=15.0, lanes=LANES, n_rolls=N_COMPILE_ROLLS):
 
     rng = np.random.default_rng(0)
     n_bits = siso.bits_per_frame(cfg, NUM_SYMBOLS)
+    # int8 bits: 1 B/bit HBM traffic through map/demap/error-count (the
+    # sims follow the caller's dtype; see sim/siso.py)
     bits = jnp.asarray(rng.integers(
-        0, 2, (lanes, n_bits)).astype(np.int32))
+        0, 2, (lanes, n_bits)).astype(np.int8))
     snr = jnp.full((lanes,), snr_db, jnp.float32)
 
     def step(key):
@@ -242,7 +244,7 @@ def bench_spatial(cfg):
     rng = np.random.default_rng(0)
     bits = jnp.asarray(rng.integers(
         0, 2, (LANES, spatial.bits_per_frame(cfg, NUM_SYMBOLS))
-    ).astype(np.int32))
+    ).astype(np.int8))
     snr = jnp.full((LANES,), 15.0, jnp.float32)
 
     def step(key):
@@ -264,7 +266,7 @@ def bench_scfdm():
     rng = np.random.default_rng(0)
     bits = jnp.asarray(rng.integers(
         0, 2, (LANES, siso.bits_per_frame(cfg, NUM_SYMBOLS, "sc-fdm"))
-    ).astype(np.int32))
+    ).astype(np.int8))
     snr = jnp.full((LANES,), 15.0, jnp.float32)
 
     def step(key):
@@ -285,7 +287,7 @@ def bench_simo():
     cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
     rng = np.random.default_rng(0)
     bits = jnp.asarray(rng.integers(
-        0, 2, (LANES, siso.bits_per_frame(cfg, NUM_SYMBOLS))).astype(np.int32))
+        0, 2, (LANES, siso.bits_per_frame(cfg, NUM_SYMBOLS))).astype(np.int8))
     snr = jnp.full((LANES,), 10.0, jnp.float32)
 
     def step(key):
@@ -310,7 +312,7 @@ def bench_sfbc():
     rng = np.random.default_rng(0)
     bits = jnp.asarray(rng.integers(
         0, 2, (LANES, diversity.sfbc_bits_per_frame(cfg, NUM_SYMBOLS))
-    ).astype(np.int32))
+    ).astype(np.int8))
     snr = jnp.full((LANES,), 15.0, jnp.float32)
 
     def step(key):

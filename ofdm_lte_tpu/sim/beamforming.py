@@ -91,7 +91,7 @@ def simulate_beamforming(key: jax.Array, bits: jnp.ndarray, snr_db,
     den = He.abs2().sum(axis=(-2, -1))[..., None]
     s_hat = C(num.re / den, num.im / den)
 
-    bits_rx = qam.demodulate(s_hat, config.modulation)
+    bits_rx = qam.demodulate(s_hat, config.modulation).astype(bits.dtype)
     errors = jnp.sum((bits_rx != bits).astype(jnp.int32), axis=-1)
     return BeamformingResult(bits_rx, errors, errors / bits.shape[-1],
                              gain_db, fb.pmi, s_hat)
@@ -179,7 +179,7 @@ def simulate_beamforming_time_varying(
     den = He.abs2().sum(axis=(-2, -1))[..., None]
     s_hat = C(num.re / den, num.im / den).reshape(lead + (S * nd,))
 
-    bits_rx = qam.demodulate(s_hat, config.modulation)
+    bits_rx = qam.demodulate(s_hat, config.modulation).astype(bits.dtype)
     errors = jnp.sum((bits_rx != bits).astype(jnp.int32), axis=-1)
     return TimeVaryingBeamformingResult(
         bits_rx, errors, errors / bits.shape[-1],

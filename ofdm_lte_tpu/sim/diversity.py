@@ -81,7 +81,7 @@ def simulate_simo(key: jax.Array, bits: jnp.ndarray, snr_db,
 
     lead = combined.shape[:-2]
     flat = combined.reshape(lead + (S * g.num_data,))
-    bits_rx = qam.demodulate(flat, config.modulation)
+    bits_rx = qam.demodulate(flat, config.modulation).astype(bits.dtype)
 
     errors = jnp.sum((bits_rx != bits).astype(jnp.int32), axis=-1)
     return DiversityResult(bits_rx, errors, errors / bits.shape[-1], papr,
@@ -179,7 +179,7 @@ def simulate_sfbc(key: jax.Array, bits: jnp.ndarray, snr_db,
     detected = qam.detect(decoded, config.modulation)
     lead = detected.shape[:-2]
     flat = detected.reshape(lead + (-1,))
-    bits_rx = qam.demodulate(flat, config.modulation)
+    bits_rx = qam.demodulate(flat, config.modulation).astype(bits.dtype)
 
     errors = jnp.sum((bits_rx != bits).astype(jnp.int32), axis=-1)
     return DiversityResult(bits_rx, errors, errors / bits.shape[-1], papr,

@@ -168,6 +168,11 @@ def simulate_siso(key: jax.Array, bits: jnp.ndarray, snr_db,
     bits_rx, x_eq, psnr = receive(signal_rx, config, mode,
                                   enable_equalization=enable_equalization)
 
+    # follow the caller's bit dtype: with int8 inputs the whole bit-domain
+    # HBM traffic (demap write + two compare reads) is 1 B/bit instead of
+    # 4 B/bit — XLA fuses the cast into the demapper, so no int32
+    # intermediate is materialized (see utils/profiling cost model)
+    bits_rx = bits_rx.astype(bits.dtype)
     errors = jnp.sum((bits_rx != bits).astype(jnp.int32), axis=-1)
     ber = errors / bits.shape[-1]
     return SisoResult(bits_rx, errors, ber, papr, psnr, x_eq, signal_tx)

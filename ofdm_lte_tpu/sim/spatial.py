@@ -132,7 +132,7 @@ def _simulate_spatial_jit(key, bits, snr_db, W_re, W_im, config: LTEConfig,
     syms_rx = layer_mapper.demap_from_layers(layers_rx, original_length=nd)
 
     flat = syms_rx.reshape(lead + (S * nd,))
-    bits_rx = qam.demodulate(flat, config.modulation)
+    bits_rx = qam.demodulate(flat, config.modulation).astype(bits.dtype)
     errors = jnp.sum((bits_rx != bits).astype(jnp.int32), axis=-1)
     return SpatialResult(bits_rx, errors, errors / bits.shape[-1], syms_rx)
 
