@@ -120,6 +120,29 @@ class OFDMSimulator:
         self.last_results = res
         return res
 
+    def simulate_siso_coded_harq(self, bits: np.ndarray,
+                                 snr_db: float = 10.0,
+                                 rv_sequence=(0, 1, 2, 3),
+                                 use_max_log: Optional[bool] = None) -> Dict:
+        """HARQ retransmissions with LLR chase combining across redundancy
+        versions until CRC-24A passes (sim.coded.simulate_siso_coded_harq)."""
+        r = _coded.simulate_siso_coded_harq(
+            self._next_key(), bits, float(snr_db), self.config,
+            rv_sequence=tuple(rv_sequence), use_max_log=use_max_log, **{
+                k: v for k, v in self._chan_kwargs().items()
+                if k != "frequency_ghz"})
+        res = {
+            "transmitted_bits": len(bits), "received_bits": len(bits),
+            "bits_received_array": r.bits_rx,
+            "bit_errors": r.bit_errors, "ber": r.ber,
+            "crc_pass": r.crc_pass, "snr_db": float(snr_db),
+            "num_transmissions": r.num_transmissions,
+            "rv_history": list(r.rv_history),
+            "crc_history": list(r.crc_history),
+        }
+        self.last_results = res
+        return res
+
     # -- SIMO / MISO / MIMO ------------------------------------------------
     def simulate_simo(self, bits: np.ndarray, snr_db: float = 10.0,
                       num_rx: int = 2, combining: str = "mrc") -> Dict:

@@ -49,7 +49,9 @@ def _dispatch(sim, pipeline, bits, snr, args):
     if pipeline == "siso":
         return sim.simulate_siso(bits, snr)
     if pipeline == "siso-coded":
-        return sim.simulate_siso_coded(bits, snr)
+        return sim.simulate_siso_coded(bits, snr, rv=getattr(args, "rv", 0))
+    if pipeline == "harq":
+        return sim.simulate_siso_coded_harq(bits, snr)
     if pipeline == "simo":
         return sim.simulate_simo(bits, snr, num_rx=args.num_rx)
     if pipeline == "miso":
@@ -57,10 +59,11 @@ def _dispatch(sim, pipeline, bits, snr, args):
     if pipeline == "mimo":
         return sim.simulate_mimo(bits, snr, num_rx=args.num_rx)
     if pipeline == "beamforming":
-        return sim.simulate_beamforming(bits, snr, num_tx=args.num_tx,
-                                        num_rx=args.num_rx,
-                                        codebook_type=args.codebook,
-                                        update_mode=args.update_mode)
+        return sim.simulate_beamforming(
+            bits, snr, num_tx=args.num_tx, num_rx=args.num_rx,
+            codebook_type=args.codebook, update_mode=args.update_mode,
+            velocity_kmh=args.velocity if args.velocity else 3.0,
+            channel_model=getattr(args, "channel_model", "static"))
     if pipeline == "spatial":
         return sim.simulate_spatial_multiplexing(
             bits, snr, num_tx=args.num_tx, num_rx=args.num_rx,
@@ -497,8 +500,8 @@ def build_parser():
 
     def antennas(sp):
         sp.add_argument("--pipeline", default="siso",
-                        choices=["siso", "siso-coded", "simo", "miso",
-                                 "mimo", "beamforming", "spatial"])
+                        choices=["siso", "siso-coded", "harq", "simo",
+                                 "miso", "mimo", "beamforming", "spatial"])
         sp.add_argument("--num-tx", type=int, default=2, dest="num_tx")
         sp.add_argument("--num-rx", type=int, default=2, dest="num_rx")
         sp.add_argument("--rank", default="adaptive")
@@ -507,6 +510,13 @@ def build_parser():
         sp.add_argument("--codebook", default="TM6", choices=["TM6", "TM4"])
         sp.add_argument("--update-mode", default="adaptive",
                         dest="update_mode", choices=["adaptive", "static"])
+        sp.add_argument("--rv", type=int, default=0, choices=[0, 1, 2, 3],
+                        help="redundancy version (siso-coded pipeline)")
+        sp.add_argument("--channel-model", default="static",
+                        dest="channel_model", choices=["static", "jakes"],
+                        help="beamforming channel: constant H (reference "
+                             "parity) or Jakes time-varying with cadenced "
+                             "precoder updates")
 
     sp = sub.add_parser("info", help="show derived LTE numerology")
     common(sp)
