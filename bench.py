@@ -481,9 +481,24 @@ def main():
     _run_entry(f"siso_20MHz_64QAM_{alt}_precision",
                lambda: _alt_precision_siso(cfg, alt), est_s=500)
 
+    # roofline at the alternate precision too: at bf16 the same absolute
+    # dispatch/fusion overhead is a larger share of the (much shorter)
+    # step, so the multi-pass parity mode is the cleaner kernel-quality
+    # indicator while the bf16 default is the throughput number
+    alt_entry = _details.get(f"siso_20MHz_64QAM_{alt}_precision", {})
+    if "frames_per_s" in alt_entry:
+        def roofline_alt():
+            from ofdm_lte_tpu.utils.profiling import roofline_report
+            rl = roofline_report(
+                cfg, NUM_SYMBOLS, LANES,
+                measured_step_s=LANES / alt_entry["frames_per_s"],
+                precision=alt)
+            return {k: (round(v, 4) if isinstance(v, float) else v)
+                    for k, v in rl.items()}
+        _run_entry(f"siso_roofline_{alt}", roofline_alt, est_s=5)
+
     # parity guard: identical bits+key, only matmul rounding differs
     # between the two precision entries — BERs must agree tightly
-    alt_entry = _details.get(f"siso_20MHz_64QAM_{alt}_precision", {})
     if "ber_at_15db" in alt_entry:
         delta = abs(alt_entry["ber_at_15db"] - siso_ber)
         _record("precision_parity", {

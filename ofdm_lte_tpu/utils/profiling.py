@@ -91,7 +91,8 @@ def _cmatmul_cost(name, m, k, n, peak=PEAK_F32_FLOPS,
 
 def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
                     lanes: int = 1,
-                    precision: str = "highest") -> Dict[str, KernelCost]:
+                    precision: str = "highest",
+                    bits_dtype_bytes: int = 1) -> Dict[str, KernelCost]:
     """Complete-program cost model for one SISO frame batch: every stage the
     program must execute at the speed-of-light of its unit (MXU matmuls,
     VPU elementwise/RNG, HBM passes). A matmul-only model understates the
@@ -118,6 +119,8 @@ def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
     T = S * sps                                   # time-domain samples
     D = S * g.num_data                            # data QAM symbols
     bits_per = config.bits_per_symbol
+    bB = bits_dtype_bytes      # bench feeds int8 bit arrays (1 B/bit);
+    #                            int32 callers pay 4 B/bit here
     mxu = PEAK_MXU_BY_PRECISION.get(precision, PEAK_F32_FLOPS)
     costs = {
         "tx_idft": _cmatmul_cost("tx_idft", S, g.num_data, sps, mxu),
@@ -135,29 +138,31 @@ def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
             "papr", flops=4.0 * T, bytes=8.0 * T,
             peak_flops=PEAK_VPU_FLOPS),
         "qam_map": KernelCost(
-            # bits (int32, simulate_siso's public contract) -> symbols:
-            # read bps ints per symbol, closed-form per-axis map
-            "qam_map", flops=10.0 * D, bytes=4.0 * bits_per * D + 8.0 * D,
+            # bits -> symbols: read bps ints per symbol (at the caller's
+            # bit dtype width), closed-form per-axis map
+            "qam_map", flops=10.0 * D, bytes=bB * bits_per * D + 8.0 * D,
             peak_flops=PEAK_VPU_FLOPS),
         "qam_demap": KernelCost("qam_demap", flops=30.0 * D,
-                                bytes=8.0 * D + 4.0 * bits_per * D,
+                                bytes=8.0 * D + bB * bits_per * D,
                                 peak_flops=PEAK_VPU_FLOPS),
         "estimate_zf": KernelCost("estimate_zf", flops=14.0 * D,
                                   bytes=8.0 * D,
                                   peak_flops=PEAK_VPU_FLOPS),
         "bit_error_count": KernelCost(
-            # compare RX bits vs TX bits + psum-style reduction: two int32
-            # bit-array reads (the dominant bit-domain traffic)
+            # compare RX bits vs TX bits + reduction: two bit-array reads
+            # at the caller's dtype width
             "bit_error_count", flops=2.0 * bits_per * D,
-            bytes=2 * 4.0 * bits_per * D, peak_flops=PEAK_VPU_FLOPS),
+            bytes=2.0 * bB * bits_per * D, peak_flops=PEAK_VPU_FLOPS),
     }
     return costs
 
 
 def roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
                     measured_step_s: float,
-                    precision: str = "highest") -> Dict:
-    costs = siso_frame_cost(config, num_symbols, lanes, precision)
+                    precision: str = "highest",
+                    bits_dtype_bytes: int = 1) -> Dict:
+    costs = siso_frame_cost(config, num_symbols, lanes, precision,
+                            bits_dtype_bytes)
     total_flops = sum(c.flops for c in costs.values())
     total_bytes = sum(c.bytes for c in costs.values())
     t_roofline = sum(c.roofline_time_s() for c in costs.values())

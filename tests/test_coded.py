@@ -214,3 +214,22 @@ class TestRedundancyVersionsAndHarq:
         r = coded.simulate_siso_coded_harq(
             jax.random.PRNGKey(8), bits, 30.0, cfg)
         assert r.num_transmissions == 1 and r.crc_pass and r.ber == 0.0
+
+
+def test_coded_waterfall_location():
+    """Waterfall placement (VALIDATION.md coded-waterfall table): at 3.5 dB
+    the chain is mid-transition; at 5 dB every TB decodes clean with CRC
+    pass — in-family with the reference's own curve (which is sharper only
+    because its global-RNG determinism freezes ONE noise sequence per
+    point, n_eff=1; see tools/coded_waterfall.py)."""
+    cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+    rng = np.random.default_rng(12)
+    bits = jnp.asarray(rng.integers(0, 2, (16, 6000)).astype(np.int32))
+    r_mid = coded.simulate_siso_coded_batched(
+        jax.random.PRNGKey(35), bits, 3.5, cfg)
+    rate_mid = float(jnp.mean(r_mid.crc_pass.astype(jnp.float32)))
+    assert 0.05 < rate_mid < 0.8, rate_mid      # mid-waterfall
+    r_hi = coded.simulate_siso_coded_batched(
+        jax.random.PRNGKey(50), bits, 5.0, cfg)
+    assert bool(jnp.all(r_hi.crc_pass))         # past the waterfall
+    assert int(jnp.sum(r_hi.bit_errors)) == 0
