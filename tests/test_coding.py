@@ -259,12 +259,14 @@ def test_turbo_decode_matches_reference_at_max_K(rng):
         np.testing.assert_array_equal(got, ref)
 
 
-def test_turbo_decode_block_impl_parity(rng):
+@pytest.mark.parametrize("K", [40, 512])
+def test_turbo_decode_block_impl_parity(K, rng):
     """'block' (the TPU-default blocked-scan BCJR) vs 'scan' (float-faithful
     sequential kernel): LLRs agree to float-reassociation tolerance and hard
     outputs are identical on a real noisy codeword, in both semirings. The
-    CPU default is 'scan', so the block kernel needs explicit coverage."""
-    K = 512
+    CPU default is 'scan', so the block kernel needs explicit coverage.
+    K=40 exercises the single-chunk case (K' < L: the whole trellis lives in
+    one padded block and only the identity-padded tail logic runs)."""
     Kp = K + 3
     bits = rng.integers(0, 2, (4, K)).astype(np.int32)
     enc = np.asarray(turbo.turbo_encode(jnp.asarray(bits), K)).astype(
