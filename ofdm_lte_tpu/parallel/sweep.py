@@ -132,9 +132,10 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
     """Run a full BER sweep: (num_devices · frames_per_device) frames per SNR
     point, error counts psum-reduced across the mesh.
 
-    pipeline: "siso" (default), "simo", "sfbc" or "spatial" — the full
-    TX→channel→RX chain of the corresponding sim module runs inside the
-    sharded program. Replaces OFDMSimulator.run_ber_sweep
+    pipeline: "siso" (default), "simo", "sfbc", "spatial" or "coded" — the
+    full TX→channel→RX chain of the corresponding sim module runs inside
+    the sharded program ("coded" runs one `coded_tb_bits` transport block
+    through the full TS 36.212 chain per Monte-Carlo frame). Replaces OFDMSimulator.run_ber_sweep
     (ofdm_core.py:1795-1846) and the legacy OFDMSystem sweeps
     (ofdm_system.py:432-602).
     """
