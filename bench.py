@@ -48,7 +48,9 @@ REF_SIMO_FPS = 8.798       # 5 MHz QPSK 1x4 Rayleigh Ped-A (BASELINE.md)
 REF_CODED_TBPS = 0.147     # 6000-bit TB, QPSK 5 MHz @5 dB, 8 iterations
 # (the reference's 2x1 Alamouti path crashes as-shipped — no denominator)
 
-LANES = 256         # measured sweet spot (64->256 lanes: +48% frames/s)
+LANES = 256         # measured sweet spot (64->256 lanes: +48% frames/s;
+                    # 384/512 lanes REGRESS: 129k/143k vs 147k f/s,
+                    # tools/probe_lanes.py 2026-08-20)
 NUM_SYMBOLS = 14
 
 _T0 = time.monotonic()
