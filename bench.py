@@ -97,6 +97,18 @@ def _key(seed):
 
 N_COMPILE_ROLLS = 3
 
+# per-roll evidence of the most recent _time_steps call: the compile
+# lottery's dispersion (VERDICT r2 task 7 — BENCH_r02 showed 1.70 vs
+# 10.51 ms/step rolls of the same program). Bench entries attach this via
+# _rolls_record() so artifacts show the spread behind each headline.
+_LAST_ROLLS = []
+
+
+def _rolls_record():
+    """The last _time_steps call's rolls: [{ms_per_step, sig0, in_clique,
+    chosen}] — copy, safe to embed in a details entry."""
+    return [dict(r) for r in _LAST_ROLLS]
+
 
 def _time_steps(fn, key, n_steps=20, slow_step_s=None, max_extra_rolls=2,
                 n_rolls=N_COMPILE_ROLLS):
@@ -175,8 +187,8 @@ def _time_steps(fn, key, n_steps=20, slow_step_s=None, max_extra_rolls=2,
         return np.allclose(a, b, rtol=2e-3, atol=2.0)
 
     def settle():
-        """None if no two rolls agree, else the fastest dt within ONE
-        maximal mutually-agreeing clique. With extra rolls two disjoint
+        """(None, []) if no two rolls agree, else (fastest dt, clique) of
+        ONE maximal mutually-agreeing clique. With extra rolls two disjoint
         2-roll groups can tie on peer count; taking min across the union
         would let a wrong-but-fast pair define the number, so the clique is
         anchored at the agreeing roll whose dt is closest to the median dt
@@ -186,20 +198,20 @@ def _time_steps(fn, key, n_steps=20, slow_step_s=None, max_extra_rolls=2,
                  for i in range(n)]   # incl. self
         best_peers = max(peers)
         if best_peers == 1:
-            return None
+            return None, []
         med = sorted(dt for dt, _ in rolls)[n // 2]
         anchor = min((i for i in range(n) if peers[i] == best_peers),
                      key=lambda i: abs(rolls[i][0] - med))
         clique = [j for j in range(n) if agree(rolls[anchor][1],
                                                rolls[j][1])]
-        return min(rolls[j][0] for j in clique)
+        return min(rolls[j][0] for j in clique), clique
 
     for roll in range(n_rolls):
         do_roll(roll)
     if not rolls:
         raise RuntimeError("all compile rolls failed (remote-compile flake)")
 
-    best = settle()
+    best, clique = settle()
     extra = n_rolls
     while (slow_step_s is not None and extra < max_rolls
            and (best is None or best > slow_step_s)):
@@ -207,13 +219,20 @@ def _time_steps(fn, key, n_steps=20, slow_step_s=None, max_extra_rolls=2,
               f"> {slow_step_s}s bound: rolling again", file=sys.stderr)
         do_roll(extra)
         extra += 1
-        best = settle()
+        best, clique = settle()
 
     if best is None:   # no two rolls agree: distrust speed, use median
         print("#   WARNING: no checksum agreement across rolls; "
               "taking median time", file=sys.stderr)
-        return sorted(dt for dt, _ in rolls)[len(rolls) // 2]
-    return best
+        chosen_dt = sorted(dt for dt, _ in rolls)[len(rolls) // 2]
+        clique = []
+    else:
+        chosen_dt = best
+    _LAST_ROLLS[:] = [
+        {"ms_per_step": round(dt * 1e3, 3), "sig0": float(sig[0]),
+         "in_clique": i in clique, "chosen": dt == chosen_dt}
+        for i, (dt, sig) in enumerate(rolls)]
+    return chosen_dt
 
 
 def bench_siso(cfg, snr_db=15.0, lanes=LANES, n_rolls=N_COMPILE_ROLLS):
@@ -278,7 +297,8 @@ def bench_scfdm():
     fps = LANES / _time_steps(step, _key(0), slow_step_s=LANES / 2000.0,
                               n_rolls=2)
     return {"frames_per_s": round(fps, 2),
-            "vs_reference_cpu": round(fps / REF_SCFDM_FPS, 2)}
+            "vs_reference_cpu": round(fps / REF_SCFDM_FPS, 2),
+            "rolls": _rolls_record()}
 
 
 def bench_simo():
@@ -302,7 +322,8 @@ def bench_simo():
     fps = LANES / _time_steps(step, _key(0), n_steps=10,
                               slow_step_s=LANES / 500.0, n_rolls=2)
     return {"frames_per_s": round(fps, 2),
-            "vs_reference_cpu": round(fps / REF_SIMO_FPS, 2)}
+            "vs_reference_cpu": round(fps / REF_SIMO_FPS, 2),
+            "rolls": _rolls_record()}
 
 
 def bench_sfbc():
@@ -327,7 +348,8 @@ def bench_sfbc():
     fps = LANES / _time_steps(step, _key(0), n_steps=10,
                               slow_step_s=LANES / 500.0, n_rolls=2)
     return {"frames_per_s": round(fps, 2),
-            "note": "reference path crashes as-shipped; no denominator"}
+            "note": "reference path crashes as-shipped; no denominator",
+            "rolls": _rolls_record()}
 
 
 def bench_coded():
@@ -382,12 +404,14 @@ def bench_coded_batched():
     # compile/runtime draws measure ~3x slower - keep rolling below 800 TB/s
     dt = _time_steps(step, _key(0), n_steps=5, n_rolls=2,
                      slow_step_s=lanes / 800.0)
+    rolls = _rolls_record()
     r = coded.simulate_siso_coded_batched(_key(7), bits, snr, cfg)
     frac_pass = float(jnp.mean(r.crc_pass.astype(jnp.float32)))
     tb_per_s = lanes / dt
     return {"transport_blocks_per_s": round(tb_per_s, 2),
             "vs_reference_cpu": round(tb_per_s / REF_CODED_TBPS, 1),
             "crc_pass_fraction": frac_pass,
+            "rolls": rolls,
             "note": f"{lanes} TBs/lane-batch, fully in-graph, blocked-scan "
                     "BCJR (simulate_siso_coded_batched)"}
 
@@ -415,14 +439,17 @@ def bench_sweep_wall_clock(cfg):
 def bench_batch_scaling(cfg):
     """On-chip batch-scaling: frames/s at small vs headline lane count.
     The ≥85% target (BASELINE.md:37) at '1 chip' is batching efficiency —
-    throughput/lane at LANES lanes vs the peak-throughput regime. Multi-
-    device scaling is measured on the 8-device CPU mesh in
-    tests/test_multihost.py::test_scaling_efficiency (same artifact)."""
+    throughput/lane at LANES lanes vs the peak-throughput regime. The other
+    two regimes: 1 host / N virtual devices in
+    tests/test_sweep.py::test_scaling_efficiency_on_virtual_mesh and N>=2
+    processes in tests/test_multihost.py::test_multiprocess_scaling_efficiency
+    (committed artifacts refreshed by tools/measure_scaling.py)."""
     out = {}
     for lanes in (64, LANES):
         fps, _ = bench_siso(cfg, lanes=lanes, n_rolls=2)
         out[f"lanes_{lanes}"] = {"frames_per_s": round(fps, 2),
-                                 "per_lane": round(fps / lanes, 2)}
+                                 "per_lane": round(fps / lanes, 2),
+                                 "rolls": _rolls_record()}
     big, small = out[f"lanes_{LANES}"], out["lanes_64"]
     out["throughput_gain"] = round(
         big["frames_per_s"] / small["frames_per_s"], 3)
@@ -443,7 +470,8 @@ def _alt_precision_siso(cfg, alt="highest"):
         fps, ber = bench_siso(cfg, n_rolls=2)
         return {"frames_per_s": round(fps, 2), "ber_at_15db": ber,
                 "precision": alt,
-                "vs_reference_cpu": round(fps / REF_SISO_FPS, 2)}
+                "vs_reference_cpu": round(fps / REF_SISO_FPS, 2),
+                "rolls": _rolls_record()}
     finally:
         if prev is None:
             os.environ.pop("OFDM_LTE_TPU_MATMUL_PRECISION", None)
@@ -461,6 +489,7 @@ def main():
 
     # ---- headline: measure, PRINT, record — before anything else ----
     siso_fps, siso_ber = bench_siso(cfg)
+    siso_rolls = _rolls_record()
     print(json.dumps({
         "metric": "ofdm_frames_per_s_per_chip_20MHz_64QAM_siso",
         "value": round(siso_fps, 2),
@@ -472,6 +501,7 @@ def main():
         "vs_reference_cpu": round(siso_fps / REF_SISO_FPS, 2),
         "ber_at_15db": siso_ber,
         "precision": precision,
+        "rolls": siso_rolls,
     })
 
     # ---- secondary entries, cheapest/highest-value first, under budget ----
@@ -521,7 +551,8 @@ def main():
     def spatial_entry():
         fps = bench_spatial(cfg)
         return {"frames_per_s": round(fps, 2),
-                "vs_reference_cpu": round(fps / REF_SPATIAL_FPS, 2)}
+                "vs_reference_cpu": round(fps / REF_SPATIAL_FPS, 2),
+                "rolls": _rolls_record()}
 
     _run_entry("spatial_2x2_20MHz_64QAM", spatial_entry, est_s=400)
     _run_entry("siso_batch_scaling", lambda: bench_batch_scaling(cfg),

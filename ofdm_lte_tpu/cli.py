@@ -125,8 +125,15 @@ def cmd_sweep(args):
     cfg = _mk_config(args)
     snrs = np.arange(args.snr_min, args.snr_max + 1e-9, args.snr_step)
     pipeline = getattr(args, "pipeline", "siso")
+    if pipeline == "harq":
+        return _cmd_sweep_harq(args, cfg, snrs)
+    detector = getattr(args, "detector", "MMSE")
+    rank = getattr(args, "rank", None)
+    rank = None if rank in (None, "full", "adaptive") else int(rank)
     workload = (f"{pipeline}/{cfg.modulation}/{cfg.bandwidth}/"
                 f"{args.num_tx}x{args.num_rx}/{args.channel}")
+    if pipeline == "spatial":
+        workload += f"/{detector}/r{rank if rank is not None else 'full'}"
 
     state = {"snr_db": list(map(float, snrs)), "errors": [0] * len(snrs),
              "total": [0] * len(snrs), "papr_db": [0.0] * len(snrs),
@@ -154,6 +161,7 @@ def cmd_sweep(args):
                              pipeline=pipeline,
                              num_tx=args.num_tx, num_rx=args.num_rx,
                              coded_tb_bits=getattr(args, "tb_bits", 6000),
+                             detector_type=detector, rank=rank,
                              mode="sc-fdm" if args.sc_fdm else "lte")
         for i in range(len(snrs)):
             state["errors"][i] += int(r.bit_errors[i])
@@ -180,6 +188,87 @@ def cmd_sweep(args):
         ax.set_ylabel("BER")
         ax.grid(True, which="both", alpha=0.4)
         ax.set_title(f"{cfg.modulation} {cfg.bandwidth} MHz {args.channel}")
+        fig.savefig(args.plot, dpi=110)
+        print(f"# plot saved to {args.plot}", file=sys.stderr)
+
+
+def _cmd_sweep_harq(args, cfg, snrs):
+    """HARQ BLER/avg-transmissions-vs-SNR sweep (sharded; the in-graph
+    chase-combining schedule of sim.coded.simulate_siso_coded_harq_batched).
+    Output: residual BLER after the full rv schedule, BLER after each
+    combined stage, and mean transmissions per transport block."""
+    import jax
+    from .parallel import sweep as psweep
+
+    rv_seq = tuple(int(x) for x in args.rv_sequence.split(","))
+    workload = (f"harq/{cfg.modulation}/{cfg.bandwidth}/{args.channel}/"
+                f"tb{args.tb_bits}/rv{','.join(map(str, rv_seq))}")
+    T = len(rv_seq)
+    state = {"snr_db": list(map(float, snrs)),
+             "tb_failures": [0] * len(snrs),
+             "stage_failures": [[0] * T for _ in snrs],
+             "tx_sum": [0] * len(snrs), "errors": [0] * len(snrs),
+             "frames": 0, "workload": workload}
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        with open(args.checkpoint) as f:
+            prev = json.load(f)
+        if (prev.get("snr_db") == state["snr_db"]
+                and prev.get("workload") == workload):
+            state = prev
+            print(f"# resumed from {args.checkpoint} "
+                  f"({state['frames']} TBs/point done)", file=sys.stderr)
+
+    mesh = (psweep.make_mesh_2d(args.snr_shards)
+            if getattr(args, "snr_shards", 1) > 1 else None)
+    key = jax.random.PRNGKey(args.seed)
+    for rnd in range(args.rounds):
+        r = psweep.harq_sweep(
+            jax.random.fold_in(key, 7000 + state["frames"] + rnd), cfg,
+            snrs, frames_per_device=args.frames, tb_bits=args.tb_bits,
+            rv_sequence=rv_seq, mesh=mesh, channel_type=args.channel,
+            itu_profile=args.itu_profile, velocity_kmh=args.velocity)
+        for i in range(len(snrs)):
+            state["tb_failures"][i] += int(r.tb_failures[i])
+            for t in range(T):
+                state["stage_failures"][i][t] += int(
+                    round(float(r.bler_per_stage[i, t]) * r.frames))
+            state["tx_sum"][i] += int(
+                round(float(r.avg_transmissions[i]) * r.frames))
+            state["errors"][i] += int(
+                round(float(r.ber[i]) * r.frames * args.tb_bits))
+        state["frames"] += r.frames
+        if args.checkpoint:
+            with open(args.checkpoint, "w") as f:
+                json.dump(state, f)
+
+    n = max(state["frames"], 1)
+    result = {
+        "snr_db": state["snr_db"],
+        "bler": [f / n for f in state["tb_failures"]],
+        "bler_per_stage": [[f / n for f in row]
+                           for row in state["stage_failures"]],
+        "avg_transmissions": [s / n for s in state["tx_sum"]],
+        "ber": [e / (n * args.tb_bits) for e in state["errors"]],
+        "tbs_per_point": state["frames"],
+        "rv_sequence": list(rv_seq),
+    }
+    print(json.dumps(result, indent=2))
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        for t in range(T):
+            ax.semilogy(result["snr_db"],
+                        np.maximum([row[t] for row in
+                                    result["bler_per_stage"]], 1e-8),
+                        "o-", label=f"after tx {t + 1}")
+        ax.set_xlabel("SNR (dB)")
+        ax.set_ylabel("BLER")
+        ax.grid(True, which="both", alpha=0.4)
+        ax.legend()
+        ax.set_title(f"HARQ {cfg.modulation} tb={args.tb_bits}")
         fig.savefig(args.plot, dpi=110)
         print(f"# plot saved to {args.plot}", file=sys.stderr)
 
@@ -544,11 +633,21 @@ def build_parser():
     sp.add_argument("--checkpoint", default=None,
                     help="JSON file to accumulate/resume sweep state")
     sp.add_argument("--pipeline", default="siso",
-                    choices=["siso", "simo", "sfbc", "spatial", "coded"])
+                    choices=["siso", "simo", "sfbc", "spatial", "coded",
+                             "harq"])
     sp.add_argument("--tb-bits", type=int, default=6000, dest="tb_bits",
-                    help="transport-block bits per frame (coded pipeline)")
+                    help="transport-block bits per frame "
+                         "(coded/harq pipelines)")
+    sp.add_argument("--rv-sequence", default="0,1,2,3", dest="rv_sequence",
+                    help="HARQ redundancy-version schedule (harq pipeline)")
     sp.add_argument("--num-tx", type=int, default=2, dest="num_tx")
     sp.add_argument("--num-rx", type=int, default=2, dest="num_rx")
+    sp.add_argument("--detector", default="MMSE",
+                    choices=["MMSE", "IRC", "ZF", "SIC", "MRC"],
+                    help="MIMO detector (spatial pipeline)")
+    sp.add_argument("--rank", default=None,
+                    help="spatial rank: integer or 'full' "
+                         "(= min(num_tx, num_rx))")
     sp.add_argument("--snr-shards", type=int, default=1, dest="snr_shards",
                     help="shard SNR points across this many mesh rows "
                          "(2-D snr x mc mesh; must divide device count)")

@@ -421,7 +421,7 @@ def _bcjr(llr_sys: jnp.ndarray, llr_par: jnp.ndarray,
             (nC * L,) + gt.shape[1:-2] + (8,))[:Kp]
         betas_rev = jnp.stack(b_em).swapaxes(0, 1).reshape(
             (nC * L,) + gt.shape[1:-2] + (8,))[:Kp]
-    else:
+    elif impl == "scan":
         # flat edge tables: for target state s', edge e in {0,1}: source state
         # ps_flat[2s'+e] emitting input pi_flat[2s'+e]
         ps_flat = jnp.asarray(ps_t.reshape(-1))              # (16,) prev state
@@ -447,6 +447,9 @@ def _bcjr(llr_sys: jnp.ndarray, llr_par: jnp.ndarray,
 
         b0, betas_rev = jax.lax.scan(beta_step, bK, gt, reverse=True)
         # betas_rev[k] = beta at time k+1 (after consuming bit k)
+    else:
+        raise ValueError(f"unknown BCJR impl {impl!r}; "
+                         "pick from 'block', 'scan', 'assoc'")
 
     # LLR_k = max_{(s,i=0)}(α_k[s]+γ_k[s,i]+β_{k+1}[ns]) − max_{(s,i=1)}(…)
     alphas_b = jnp.moveaxis(alphas, 0, -2)                   # (..., K', 8)

@@ -39,13 +39,20 @@ except ImportError:  # pragma: no cover
 
 
 def _cmatmul_kernel(ar_ref, ai_ref, br_ref, bi_ref, cr_ref, ci_ref,
-                    *, gauss: bool = False):
+                    *, gauss: bool = False,
+                    precision: str = "highest"):
     ar = ar_ref[:]
     ai = ai_ref[:]
     br = br_ref[:]
     bi = bi_ref[:]
     f32 = jnp.float32
-    prec = jax.lax.Precision.HIGHEST   # true-f32 MXU passes (parity with XLA)
+    # HIGHEST = true-f32 MXU passes (parity with the XLA path at the f32
+    # policy); DEFAULT = single-pass bf16 (the supported process default,
+    # see ofdm_lte_tpu.precision) — parametrized so the fused kernel can
+    # serve the bf16 default too (VERDICT r2 task 2).
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
     if gauss:
         # 3-multiply Gauss form: operand adds happen on already-resident
         # VMEM tiles (VPU), so this is a pure 25% MXU-FLOP cut per tile.

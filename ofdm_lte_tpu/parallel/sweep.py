@@ -53,7 +53,8 @@ def _bits_per_frame(config, num_ofdm_symbols, mode, pipeline,
 
 
 def _run_pipeline(k, b, snr, config, mode, channel_type, itu_profile,
-                  velocity_kmh, pipeline, num_tx, num_rx):
+                  velocity_kmh, pipeline, num_tx, num_rx,
+                  detector_type="MMSE", rank=None):
     """Returns (bit_errors, papr_db) for one Monte-Carlo lane."""
     if pipeline == "siso":
         r = siso.simulate_siso(k, b, snr, config, mode=mode,
@@ -79,7 +80,8 @@ def _run_pipeline(k, b, snr, config, mode, channel_type, itu_profile,
         from ..sim import spatial
         r = spatial.simulate_spatial_multiplexing(
             k, b, snr, config, num_tx=num_tx, num_rx=num_rx,
-            rank=min(num_tx, num_rx), detector_type="MMSE",
+            rank=min(num_tx, num_rx) if rank is None else rank,
+            detector_type=detector_type,
             channel_type=channel_type, itu_profile=itu_profile,
             velocity_kmh=velocity_kmh or 3.0)
         return r.bit_errors, jnp.zeros_like(r.ber)
@@ -128,7 +130,8 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
               channel_type: str = "awgn", itu_profile: str = "Pedestrian_A",
               velocity_kmh: float = None, pipeline: str = "siso",
               num_tx: int = 2, num_rx: int = 2,
-              coded_tb_bits: int = 6000) -> SweepResult:
+              coded_tb_bits: int = 6000,
+              detector_type: str = "MMSE", rank: int = None) -> SweepResult:
     """Run a full BER sweep: (num_devices · frames_per_device) frames per SNR
     point, error counts psum-reduced across the mesh.
 
@@ -138,6 +141,11 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
     through the full TS 36.212 chain per Monte-Carlo frame). Replaces OFDMSimulator.run_ber_sweep
     (ofdm_core.py:1795-1846) and the legacy OFDMSystem sweeps
     (ofdm_system.py:432-602).
+
+    detector_type / rank apply to the "spatial" pipeline only — the Spatial
+    GUI's detector selector (MMSE/IRC/ZF/SIC/MRC) at sweep scale
+    (/root/reference/Spatial/gui/main_window.py:94-149,
+    core/mimo_detector.py:200-306). rank=None uses min(num_tx, num_rx).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -178,7 +186,7 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
         def one_lane(k, b, snr):
             r = _run_pipeline(k, b, snr, config, mode, channel_type,
                               itu_profile, velocity_kmh, pipeline,
-                              num_tx, num_rx)
+                              num_tx, num_rx, detector_type, rank)
             return r
 
         errs, paprs = jax.vmap(
@@ -215,3 +223,101 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
     total = np.full((S,), np.int64(n_bits) * frames_per_point, np.int64)
     return SweepResult(snr_points, errors / total, errors, total, papr,
                        frames_per_point)
+
+
+class HarqSweepResult(NamedTuple):
+    snr_db: jnp.ndarray             # (S,)
+    bler: jnp.ndarray               # (S,) CRC-fail fraction after the full
+    #                                 rv schedule (residual BLER)
+    avg_transmissions: jnp.ndarray  # (S,) mean transmissions per TB
+    bler_per_stage: jnp.ndarray     # (S, T) BLER after each combined decode
+    ber: jnp.ndarray                # (S,) residual info-bit error rate
+    tb_failures: jnp.ndarray        # (S,) int
+    frames: int                     # TBs per SNR point
+
+
+def harq_sweep(key: jax.Array, config: LTEConfig, snr_points,
+               frames_per_device: int = 4, tb_bits: int = 6000,
+               rv_sequence=(0, 1, 2, 3), mesh: Mesh = None,
+               channel_type: str = "awgn",
+               itu_profile: str = "Pedestrian_A",
+               velocity_kmh: float = None,
+               num_iterations: int = 8) -> HarqSweepResult:
+    """Sharded HARQ Monte-Carlo sweep: per SNR point, (num_devices ·
+    frames_per_device) transport blocks each run the full in-graph HARQ
+    schedule (sim.coded.simulate_siso_coded_harq_batched); BLER-per-stage,
+    residual BLER/BER and mean-transmission counters psum-reduce across
+    the mesh. Supports the same 1-D ('mc') and 2-D ('snr', 'mc') meshes as
+    ber_sweep."""
+    from ..sim import coded
+
+    if mesh is None:
+        mesh = make_mesh()
+    if len(mesh.axis_names) == 2:
+        snr_axis, axis = mesh.axis_names
+        n_snr_shards = mesh.shape[snr_axis]
+    else:
+        snr_axis, axis = None, mesh.axis_names[0]
+        n_snr_shards = 1
+    mc_size = mesh.shape[axis]
+    snr_points = jnp.asarray(snr_points, jnp.float32)
+    S = snr_points.shape[0]
+    S_pad = (-S) % n_snr_shards
+    snr_work = (jnp.concatenate([snr_points,
+                                 jnp.broadcast_to(snr_points[-1:], (S_pad,))])
+                if S_pad else snr_points)
+    S_local = (S + S_pad) // n_snr_shards
+    F = frames_per_device
+    T = len(rv_sequence)
+    rvs = tuple(int(r) for r in rv_sequence)
+
+    def per_device(key, snrs):
+        dev = jax.lax.axis_index(axis)
+        if snr_axis is not None:
+            dev = dev + jax.lax.axis_index(snr_axis) * mc_size
+        key = jax.random.fold_in(key, dev)
+        kb, kc = jax.random.split(key)
+        bits = jax.random.bernoulli(
+            kb, 0.5, (S_local, F, tb_bits)).astype(jnp.int32)
+        keys = jax.random.split(kc, S_local * F).reshape(S_local, F, 2)
+
+        def one_lane(k, b, snr):
+            r = coded.simulate_siso_coded_harq_batched(
+                k, b, snr, config, rv_sequence=rvs,
+                channel_type=channel_type, itu_profile=itu_profile,
+                velocity_kmh=velocity_kmh, num_iterations=num_iterations)
+            return (r.bit_errors, r.crc_pass, r.num_transmissions,
+                    r.crc_pass_stage)
+
+        errs, ok, ntx, ok_stage = jax.vmap(
+            lambda ks, bs, snr: jax.vmap(
+                lambda k, b: one_lane(k, b, snr))(ks, bs)
+        )(keys, bits, snrs)
+
+        # per-point int32 counters are tiny (≤ F·tb_bits and ≤ F·T); psum
+        # across realistic mesh sizes stays far below 2^31
+        errs_d = jax.lax.psum(jnp.sum(errs, axis=1), axis)
+        fails_d = jax.lax.psum(
+            jnp.sum((~ok).astype(jnp.int32), axis=1), axis)
+        ntx_d = jax.lax.psum(jnp.sum(ntx, axis=1), axis)
+        fails_stage = jax.lax.psum(
+            jnp.sum((~ok_stage).astype(jnp.int32), axis=1), axis)
+        return errs_d, fails_d, ntx_d, fails_stage
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(snr_axis)),
+        out_specs=(P(snr_axis), P(snr_axis), P(snr_axis), P(snr_axis)),
+    )
+    errs, fails, ntx, fails_stage = jax.jit(sharded)(key, snr_work)
+    errs = np.asarray(errs[:S], np.int64)
+    fails = np.asarray(fails[:S], np.int64)
+    ntx = np.asarray(ntx[:S], np.int64)
+    fails_stage = np.asarray(fails_stage[:S], np.int64)
+
+    frames_per_point = F * mc_size
+    total_bits = np.int64(tb_bits) * frames_per_point
+    return HarqSweepResult(
+        snr_points, fails / frames_per_point, ntx / frames_per_point,
+        fails_stage / frames_per_point, errs / total_bits, fails,
+        frames_per_point)

@@ -120,6 +120,123 @@ def _transpose_flatten(x: C, a: int, b: int) -> C:
         lead + (a * b,))
 
 
+def _blocks_from_tb(tb, lay, lead):
+    """Code blocks from a CRC-attached transport block via the host-static
+    segmentation layout: per-block filler/info scatter + in-graph CRC-24B
+    (segmented case). Returns (blk_by_r, groups) with groups mapping each
+    block size K to the block indices of that size (equal-K blocks batch
+    through one turbo scan)."""
+    C_blocks = len(lay["sizes"])
+    blk_by_r = [None] * C_blocks
+    for r in range(C_blocks):
+        K, F, I, P = (lay["sizes"][r], lay["fillers"][r], lay["info"][r],
+                      lay["positions"][r])
+        if lay["segmented"]:
+            body = jnp.zeros(lead + (K - 24,), jnp.int32)
+            body = body.at[..., F:F + I].set(tb[..., P:P + I])
+            blk_by_r[r] = jnp.concatenate(
+                [body, crc.crc_jax(body, crc.CRC24B_POLY, 24)], axis=-1)
+        else:
+            blk_by_r[r] = jnp.zeros(lead + (K,), jnp.int32).at[
+                ..., F:].set(tb)
+
+    groups = {}
+    for r in range(C_blocks):
+        groups.setdefault(lay["sizes"][r], []).append(r)
+    return blk_by_r, groups
+
+
+def _turbo_encode_groups(blk_by_r, groups):
+    """{K: turbo-encoded (..., n_blocks_of_K, 3K+12)} — rv-independent, so
+    HARQ encodes once and rate-matches per redundancy version."""
+    return {K: turbo.turbo_encode(
+        jnp.stack([blk_by_r[r] for r in idxs], axis=-2), K)
+        for K, idxs in groups.items()}
+
+
+def _rate_match_groups(enc_by_K, groups, lay, rv):
+    """Rate-match every group at redundancy version rv and concatenate the
+    blocks back into the transmitted coded stream (..., Σ 3K+12)."""
+    C_blocks = len(lay["sizes"])
+    rm_by_r = [None] * C_blocks
+    for K, idxs in groups.items():
+        out = rate_matching.rate_match(enc_by_K[K], 3 * K + 12, K, rv)
+        for j, r in enumerate(idxs):
+            rm_by_r[r] = out[..., j, :]
+    return jnp.concatenate(rm_by_r, axis=-1)
+
+
+def _link_llrs(key, coded, coded_len, snr_db, config: LTEConfig,
+               channel_type: str, itu_profile: str, velocity_kmh):
+    """One transmission of the coded stream over the OFDM link, batched:
+    QAM + time-frequency block interleave -> grid/IFFT/CP -> channel ->
+    CRS est/ZF -> de-interleave -> per-subcarrier noise variance -> soft
+    demap (ofdm_core.py:1032-1243). Returns (llrs (..., coded_len), papr)."""
+    lead = coded.shape[:-1]
+    g = grid_for(config)
+    nd = g.num_data
+    bps = config.bits_per_symbol
+
+    pad_b = (-coded_len) % bps
+    coded_p = jnp.pad(coded, [(0, 0)] * len(lead) + [(0, pad_b)])
+    n_sym = (coded_len + pad_b) // bps
+    rows = int(np.ceil(n_sym / nd))
+    total = rows * nd
+    syms = qam.modulate(coded_p, config.modulation)
+    syms = cplx.pad(syms, [(0, 0)] * (syms.ndim - 1) + [(0, total - n_sym)])
+    data_syms = _transpose_flatten(syms, rows, nd).reshape(lead + (rows, nd))
+
+    x_eq, h_data, papr, _psnr = _coded_link(
+        key, data_syms, snr_db, config, rows, channel_type, itu_profile,
+        velocity_kmh)
+
+    de = _transpose_flatten(x_eq.reshape(lead + (total,)), nd, rows)[
+        ..., :n_sym]
+    h_de = _transpose_flatten(h_data.reshape(lead + (total,)), nd, rows)[
+        ..., :n_sym]
+    sigma2 = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 10.0)
+    s2 = sigma2[..., None] if sigma2.ndim else sigma2
+    if channel_type == "awgn":
+        noise_var = jnp.broadcast_to(jnp.asarray(s2, jnp.float32),
+                                     lead + (n_sym,))
+    else:
+        h_pow = jnp.clip(h_de.abs2(), 1e-6, 1e6)
+        noise_var = jnp.maximum(s2 / h_pow, s2 / 4.0)
+
+    llrs = qam.llrs(de, noise_var, config.modulation)[..., :coded_len]
+    return llrs, papr
+
+
+def _dematch_llr_groups(llrs, groups, offsets, rv):
+    """Per-block transmission LLRs de-rate-matched to encoder order — the
+    soft-combining domain: {K: (..., n_blocks_of_K, 3K+12)}."""
+    return {K: rate_matching.rate_dematch(
+        jnp.stack([llrs[..., offsets[r]:offsets[r + 1]] for r in idxs],
+                  axis=-2), K, rv)
+        for K, idxs in groups.items()}
+
+
+def _decode_groups(acc_by_K, groups, lay, num_iterations, use_max_log):
+    """Grouped turbo decode + desegment: encoder-domain LLR accumulators
+    {K: (..., nK, 3K+12)} -> received transport block (..., B)."""
+    C_blocks = len(lay["sizes"])
+    dec_by_r = [None] * C_blocks
+    for K, idxs in groups.items():
+        out = turbo.turbo_decode(acc_by_K[K], K, num_iterations,
+                                 use_max_log)
+        for j, r in enumerate(idxs):
+            dec_by_r[r] = out[..., j, :]
+
+    parts = []
+    for r in range(C_blocks):
+        K, F, I = lay["sizes"][r], lay["fillers"][r], lay["info"][r]
+        if lay["segmented"]:
+            parts.append(dec_by_r[r][..., F:F + I])   # body sans CRC-24B
+        else:
+            parts.append(dec_by_r[r][..., F:])
+    return jnp.concatenate(parts, axis=-1)            # (..., B)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "config", "channel_type", "itu_profile", "velocity_kmh",
     "num_iterations", "use_max_log", "rv"))
@@ -137,95 +254,22 @@ def _coded_chain_batched(key, bits, snr_db, config: LTEConfig,
     lead = bits.shape[:-1]
     n_orig = bits.shape[-1]
     B = n_orig + 24
-    g = grid_for(config)
-    nd = g.num_data
-    bps = config.bits_per_symbol
 
     tb = jnp.concatenate(
         [bits, crc.crc_jax(bits, crc.CRC24A_POLY, 24)], axis=-1)
 
     lay = segmentation.segment_layout(B)
-    C_blocks = len(lay["sizes"])
-
-    # ---- build code blocks (static scatter), group equal-K for encode ----
-    blk_by_r = [None] * C_blocks
-    for r in range(C_blocks):
-        K, F, I, P = (lay["sizes"][r], lay["fillers"][r], lay["info"][r],
-                      lay["positions"][r])
-        if lay["segmented"]:
-            body = jnp.zeros(lead + (K - 24,), jnp.int32)
-            body = body.at[..., F:F + I].set(tb[..., P:P + I])
-            blk_by_r[r] = jnp.concatenate(
-                [body, crc.crc_jax(body, crc.CRC24B_POLY, 24)], axis=-1)
-        else:
-            blk_by_r[r] = jnp.zeros(lead + (K,), jnp.int32).at[
-                ..., F:].set(tb)
-
-    groups = {}
-    for r in range(C_blocks):
-        groups.setdefault(lay["sizes"][r], []).append(r)
-
-    rm_by_r = [None] * C_blocks
-    for K, idxs in groups.items():
-        stacked = jnp.stack([blk_by_r[r] for r in idxs], axis=-2)
-        out = rate_matching.rate_match(
-            turbo.turbo_encode(stacked, K), 3 * K + 12, K, rv)
-        for j, r in enumerate(idxs):
-            rm_by_r[r] = out[..., j, :]
-    coded = jnp.concatenate(rm_by_r, axis=-1)
+    blk_by_r, groups = _blocks_from_tb(tb, lay, lead)
+    coded = _rate_match_groups(_turbo_encode_groups(blk_by_r, groups),
+                               groups, lay, rv)
     offsets = np.cumsum([0] + [3 * K + 12 for K in lay["sizes"]])
     coded_len = int(offsets[-1])
 
-    # ---- QAM + time-frequency block interleaver ----
-    pad_b = (-coded_len) % bps
-    coded_p = jnp.pad(coded, [(0, 0)] * len(lead) + [(0, pad_b)])
-    n_sym = (coded_len + pad_b) // bps
-    rows = int(np.ceil(n_sym / nd))
-    total = rows * nd
-    syms = qam.modulate(coded_p, config.modulation)
-    syms = cplx.pad(syms, [(0, 0)] * (syms.ndim - 1) + [(0, total - n_sym)])
-    data_syms = _transpose_flatten(syms, rows, nd).reshape(lead + (rows, nd))
+    llrs, papr = _link_llrs(key, coded, coded_len, snr_db, config,
+                            channel_type, itu_profile, velocity_kmh)
 
-    # ---- link ----
-    x_eq, h_data, papr, _psnr = _coded_link(
-        key, data_syms, snr_db, config, rows, channel_type, itu_profile,
-        velocity_kmh)
-
-    # ---- de-interleave symbols + H, per-subcarrier noise variance ----
-    de = _transpose_flatten(x_eq.reshape(lead + (total,)), nd, rows)[
-        ..., :n_sym]
-    h_de = _transpose_flatten(h_data.reshape(lead + (total,)), nd, rows)[
-        ..., :n_sym]
-    sigma2 = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 10.0)
-    s2 = sigma2[..., None] if sigma2.ndim else sigma2
-    if channel_type == "awgn":
-        noise_var = jnp.broadcast_to(jnp.asarray(s2, jnp.float32),
-                                     lead + (n_sym,))
-    else:
-        h_pow = jnp.clip(h_de.abs2(), 1e-6, 1e6)
-        noise_var = jnp.maximum(s2 / h_pow, s2 / 4.0)
-
-    llrs = qam.llrs(de, noise_var, config.modulation)[..., :coded_len]
-
-    # ---- de-rate-match + turbo decode (grouped by K), desegment ----
-    dec_by_r = [None] * C_blocks
-    for K, idxs in groups.items():
-        batch = jnp.stack(
-            [llrs[..., offsets[r]:offsets[r + 1]] for r in idxs], axis=-2)
-        out = turbo.turbo_decode(
-            rate_matching.rate_dematch(batch, K, rv), K, num_iterations,
-            use_max_log)
-        for j, r in enumerate(idxs):
-            dec_by_r[r] = out[..., j, :]
-
-    parts = []
-    for r in range(C_blocks):
-        K, F, I = lay["sizes"][r], lay["fillers"][r], lay["info"][r]
-        if lay["segmented"]:
-            parts.append(dec_by_r[r][..., F:F + I])   # body sans CRC-24B
-        else:
-            parts.append(dec_by_r[r][..., F:])
-    tb_rx = jnp.concatenate(parts, axis=-1)           # (..., B)
+    acc = _dematch_llr_groups(llrs, groups, offsets, rv)
+    tb_rx = _decode_groups(acc, groups, lay, num_iterations, use_max_log)
 
     rem = crc.crc_jax(tb_rx[..., :n_orig], crc.CRC24A_POLY, 24)
     crc_pass = jnp.all(rem == tb_rx[..., n_orig:], axis=-1)
@@ -259,6 +303,107 @@ def simulate_siso_coded_batched(key: jax.Array, bits, snr_db,
         key, jnp.asarray(bits, jnp.int32),
         jnp.asarray(snr_db, jnp.float32), config, channel_type,
         itu_profile, velocity_kmh, num_iterations, bool(use_max_log), rv)
+
+
+class HarqBatchResult(NamedTuple):
+    bits_rx: jnp.ndarray            # (..., n_bits) int32, first-pass decode
+    bit_errors: jnp.ndarray         # (...,) int32
+    ber: jnp.ndarray                # (...,) float32
+    crc_pass: jnp.ndarray           # (...,) bool — passed at ANY stage
+    num_transmissions: jnp.ndarray  # (...,) int32 — 1..T (T if never passed)
+    crc_pass_stage: jnp.ndarray     # (..., T) bool — after each combine
+    papr_db: jnp.ndarray            # (...,) float32 — first transmission
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "config", "channel_type", "itu_profile", "velocity_kmh",
+    "num_iterations", "use_max_log", "rv_sequence"))
+def _coded_chain_harq_batched(key, bits, snr_db, config: LTEConfig,
+                              channel_type: str, itu_profile: str,
+                              velocity_kmh, num_iterations: int,
+                              use_max_log: bool,
+                              rv_sequence: tuple) -> HarqBatchResult:
+    """HARQ with chase/IR combining as ONE XLA program, batched over any
+    leading Monte-Carlo axes (the in-graph counterpart of
+    simulate_siso_coded_harq; same soft-combining rule, reference rv
+    machinery at rate_matching.py:280-296).
+
+    The transmission schedule is a static unrolled loop (|rv_sequence| ≤ 4):
+    turbo encoding happens ONCE (it is rv-independent); each transmission
+    rate-matches at its rv, runs the full OFDM link under an independent
+    key, de-rate-matches back to encoder order and adds into the LLR
+    accumulator; a combined decode + in-graph CRC-24A runs after every
+    transmission. Per-lane early termination is by MASKING — every lane
+    computes all T stages SPMD-style, but a lane's result freezes at its
+    first CRC pass (num_transmissions records when). BLER-vs-SNR and
+    avg-transmissions-vs-SNR curves at Monte-Carlo scale read directly off
+    crc_pass_stage / num_transmissions."""
+    lead = bits.shape[:-1]
+    n_orig = bits.shape[-1]
+    B = n_orig + 24
+    T = len(rv_sequence)
+
+    tb = jnp.concatenate(
+        [bits, crc.crc_jax(bits, crc.CRC24A_POLY, 24)], axis=-1)
+    lay = segmentation.segment_layout(B)
+    blk_by_r, groups = _blocks_from_tb(tb, lay, lead)
+    enc_by_K = _turbo_encode_groups(blk_by_r, groups)
+    offsets = np.cumsum([0] + [3 * K + 12 for K in lay["sizes"]])
+    coded_len = int(offsets[-1])
+
+    acc = None
+    done = jnp.zeros(lead, bool)
+    num_tx = jnp.zeros(lead, jnp.int32)
+    bits_rx = jnp.zeros(lead + (n_orig,), jnp.int32)
+    papr0 = None
+    stages = []
+    for t, rv in enumerate(rv_sequence):
+        coded = _rate_match_groups(enc_by_K, groups, lay, rv)
+        llrs, papr = _link_llrs(jax.random.fold_in(key, t), coded,
+                                coded_len, snr_db, config, channel_type,
+                                itu_profile, velocity_kmh)
+        papr0 = papr if papr0 is None else papr0
+        dem = _dematch_llr_groups(llrs, groups, offsets, rv)
+        acc = dem if acc is None else {K: acc[K] + dem[K] for K in acc}
+        tb_rx = _decode_groups(acc, groups, lay, num_iterations,
+                               use_max_log)
+        rem = crc.crc_jax(tb_rx[..., :n_orig], crc.CRC24A_POLY, 24)
+        pass_t = jnp.all(rem == tb_rx[..., n_orig:], axis=-1)
+        # freeze each lane at its FIRST passing stage; lanes that never
+        # pass keep the final stage's decode
+        take = (pass_t & ~done) | ((t == T - 1) & ~done)
+        bits_rx = jnp.where(take[..., None], tb_rx[..., :n_orig], bits_rx)
+        num_tx = jnp.where(~done, t + 1, num_tx)
+        done = done | pass_t
+        stages.append(pass_t)
+
+    errors = jnp.sum((bits_rx != bits).astype(jnp.int32), axis=-1)
+    return HarqBatchResult(bits_rx, errors,
+                           errors.astype(jnp.float32) / n_orig,
+                           done, num_tx, jnp.stack(stages, axis=-1), papr0)
+
+
+def simulate_siso_coded_harq_batched(key: jax.Array, bits, snr_db,
+                                     config: LTEConfig,
+                                     rv_sequence=(0, 1, 2, 3),
+                                     channel_type: str = "awgn",
+                                     itu_profile: str = "Pedestrian_A",
+                                     velocity_kmh: float = None,
+                                     num_iterations: int = 8,
+                                     use_max_log: Optional[bool] = None
+                                     ) -> HarqBatchResult:
+    """Fully in-graph HARQ chase combining: bits (..., n_bits), snr_db
+    scalar or (...,). Compiles the whole retransmission schedule into a
+    single XLA program so HARQ BLER/avg-transmissions waterfalls run at
+    Monte-Carlo scale on TPU (the host-loop variant
+    simulate_siso_coded_harq processes one TB per call)."""
+    if use_max_log is None:
+        use_max_log = turbo.USE_MAX_LOG_MAP
+    return _coded_chain_harq_batched(
+        key, jnp.asarray(bits, jnp.int32),
+        jnp.asarray(snr_db, jnp.float32), config, channel_type,
+        itu_profile, velocity_kmh, num_iterations, bool(use_max_log),
+        tuple(int(r) for r in rv_sequence))
 
 
 def _encode_tb(bits: np.ndarray, rv: int):

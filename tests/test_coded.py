@@ -216,6 +216,79 @@ class TestRedundancyVersionsAndHarq:
         assert r.num_transmissions == 1 and r.crc_pass and r.ber == 0.0
 
 
+class TestHarqBatched:
+    """Fully in-graph HARQ schedule (simulate_siso_coded_harq_batched)."""
+
+    def test_matches_host_harq_loop(self):
+        """Same key + same TB: the in-graph schedule replays the host
+        loop's per-transmission keys (fold_in(key, t)) and combining
+        order, so outcomes must agree exactly."""
+        cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+        bits = np.random.default_rng(20).integers(0, 2, 1000).astype(
+            np.int32)
+        key = jax.random.PRNGKey(20)
+        r_host = coded.simulate_siso_coded_harq(key, bits, 2.0, cfg)
+        r_bat = coded.simulate_siso_coded_harq_batched(key, bits, 2.0, cfg)
+        assert int(r_bat.num_transmissions) == r_host.num_transmissions
+        assert bool(r_bat.crc_pass) == r_host.crc_pass
+        assert int(r_bat.bit_errors) == r_host.bit_errors
+        assert np.array_equal(np.asarray(r_bat.bits_rx),
+                              r_host.bits_rx.astype(np.int32))
+
+    def test_lanes_and_early_termination(self):
+        """Per-lane SNR: the clean lane terminates after 1 transmission,
+        the deep-noise lane uses the full schedule; stage CRC flags are
+        monotone (once passed, stays passed)."""
+        cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+        rng = np.random.default_rng(21)
+        bits = jnp.asarray(rng.integers(0, 2, (2, 1000)), jnp.int32)
+        snr = jnp.asarray([30.0, -10.0], jnp.float32)
+        r = coded.simulate_siso_coded_harq_batched(
+            jax.random.PRNGKey(21), bits, snr, cfg, rv_sequence=(0, 1),
+            num_iterations=4)
+        ok = np.asarray(r.crc_pass)
+        ntx = np.asarray(r.num_transmissions)
+        stage = np.asarray(r.crc_pass_stage)
+        assert stage.shape == (2, 2)
+        assert ok[0] and ntx[0] == 1 and int(r.bit_errors[0]) == 0
+        assert not ok[1] and ntx[1] == 2      # -10 dB: never decodes
+        assert np.all(stage[:, 0] <= stage[:, 1])   # monotone per lane
+        assert np.all(np.asarray(r.papr_db) > 3.0)
+
+    def test_combining_gain_recovers_low_snr(self):
+        """2 dB sits below the single-shot waterfall; four chase-combined
+        transmissions (~+6 dB effective) decode clean — the batched
+        counterpart of test_harq_chase_combining_recovers_low_snr."""
+        cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+        rng = np.random.default_rng(22)
+        bits = jnp.asarray(rng.integers(0, 2, (2, 1000)), jnp.int32)
+        r = coded.simulate_siso_coded_harq_batched(
+            jax.random.PRNGKey(22), bits, 2.0, cfg)
+        stage = np.asarray(r.crc_pass_stage)
+        assert not np.any(stage[:, 0])        # every 1st transmission fails
+        assert np.all(np.asarray(r.crc_pass))
+        assert np.all(np.asarray(r.bit_errors) == 0)
+        assert np.all(np.asarray(r.num_transmissions) >= 2)
+
+    def test_sharded_harq_sweep(self):
+        from ofdm_lte_tpu.parallel import sweep
+        cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+        r = sweep.harq_sweep(jax.random.PRNGKey(30), cfg, [0.0, 30.0],
+                             frames_per_device=1, tb_bits=1000,
+                             rv_sequence=(0, 1), num_iterations=4)
+        assert r.frames == 8
+        bler = np.asarray(r.bler)
+        avg = np.asarray(r.avg_transmissions)
+        stage = np.asarray(r.bler_per_stage)
+        assert stage.shape == (2, 2)
+        # 30 dB: single clean transmission everywhere
+        assert bler[1] == 0.0 and avg[1] == 1.0 and float(r.ber[1]) == 0.0
+        # 0 dB: below the waterfall — every TB needs the full schedule
+        assert stage[0, 0] == 1.0 and avg[0] == 2.0
+        # combining never hurts
+        assert np.all(stage[:, 1] <= stage[:, 0])
+
+
 def test_coded_waterfall_location():
     """Waterfall placement (VALIDATION.md coded-waterfall table): at 3.5 dB
     the chain is mid-transition; at 5 dB every TB decodes clean with CRC
