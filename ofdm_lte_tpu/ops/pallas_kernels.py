@@ -78,10 +78,11 @@ def _cmatmul_kernel(ar_ref, ai_ref, br_ref, bi_ref, cr_ref, ci_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret",
-                                              "gauss"))
+                                              "gauss", "precision"))
 def cmatmul_pallas_2d(a: C, b: C, bm: int = 256, bn: int = 256,
                       bk: int = 512, interpret: bool = False,
-                      gauss: bool = False) -> C:
+                      gauss: bool = False,
+                      precision: str = "highest") -> C:
     """Fused complex matmul for 2-D operands: (M, K) @ (K, N) -> (M, N).
 
     interpret=True runs the kernel through the Pallas interpreter (any
@@ -104,7 +105,7 @@ def cmatmul_pallas_2d(a: C, b: C, bm: int = 256, bn: int = 256,
     c_spec = pl.BlockSpec((bm, bn), lambda i, j, k: (i, j))
 
     cr, ci = pl.pallas_call(
-        functools.partial(_cmatmul_kernel, gauss=gauss),
+        functools.partial(_cmatmul_kernel, gauss=gauss, precision=precision),
         grid=grid,
         in_specs=[a_spec, a_spec, b_spec, b_spec],
         out_specs=(c_spec, c_spec),
@@ -124,14 +125,16 @@ def cmatmul(a: C, b: C, gauss: bool = False) -> C:
 
     a: (..., M0, K), b: (K, N) — the modem's shape pattern (B is a constant
     DFT matrix shared across the batch). gauss=True selects the 3-dot
-    Karatsuba kernel variant.
-    """
+    Karatsuba kernel variant. MXU dot precision follows the process-level
+    policy (ofdm_lte_tpu.precision), same as the XLA backends."""
+    from ..precision import matmul_precision, matmul_precision_name
     if not HAVE_PALLAS:
-        return cplx.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+        return cplx.matmul(a, b, precision=matmul_precision())
     lead = a.shape[:-1]
     K = a.shape[-1]
     a2 = a.reshape((-1, K))
-    out = cmatmul_pallas_2d(a2, b, gauss=gauss)
+    out = cmatmul_pallas_2d(a2, b, gauss=gauss,
+                            precision=matmul_precision_name())
     return out.reshape(lead + (b.shape[-1],))
 
 

@@ -196,12 +196,20 @@ def _link_llrs(key, coded, coded_len, snr_db, config: LTEConfig,
         ..., :n_sym]
     sigma2 = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 10.0)
     s2 = sigma2[..., None] if sigma2.ndim else sigma2
-    if channel_type == "awgn":
-        noise_var = jnp.broadcast_to(jnp.asarray(s2, jnp.float32),
-                                     lead + (n_sym,))
-    else:
-        h_pow = jnp.clip(h_de.abs2(), 1e-6, 1e6)
-        noise_var = jnp.maximum(s2 / h_pow, s2 / 4.0)
+    # Per-subcarrier effective noise after ZF: σ²/|Ĥ|², |Ĥ|² clipped, floor
+    # σ²/4 (max 6 dB amplification discount) — for EVERY channel type.
+    # The reference keeps noise_var = σ² constant in its AWGN branch
+    # (ofdm_core.py:1224-1243); that quirk is a soft-demap miscalibration:
+    # at waterfall SNRs the LS pilot noise makes Ĥ≈0 events real, ZF then
+    # emits huge confidently-WRONG symbols and constant-σ² LLRs pass them
+    # to the decoder unclipped (QPSK) — measured |LLR| up to 1230 vs ~6
+    # typical at 4.5 dB, a per-TB error floor that poisons HARQ chase
+    # combining (one bad transmission corrupts the accumulator for every
+    # later stage). Weighting by the estimated |Ĥ|² (the Rayleigh branch's
+    # own rule) shrinks exactly those positions. Deliberate divergence —
+    # PARITY.md "LLR noise weighting".
+    h_pow = jnp.clip(h_de.abs2(), 1e-6, 1e6)
+    noise_var = jnp.maximum(s2 / h_pow, s2 / 4.0)
 
     llrs = qam.llrs(de, noise_var, config.modulation)[..., :coded_len]
     return llrs, papr
@@ -460,13 +468,12 @@ def _transmit_llrs(key, coded: np.ndarray, snr_db: float, config: LTEConfig,
     h_de = C(flat_h.re.reshape(nd, rows).T.reshape(-1),
              flat_h.im.reshape(nd, rows).T.reshape(-1))[..., :n_sym]
 
-    # ---- per-subcarrier noise variance (ofdm_core.py:1224-1243) ----
+    # ---- per-subcarrier noise variance (ofdm_core.py:1224-1243; the
+    # |Ĥ|² weighting applies to AWGN too — deliberate divergence, see
+    # _link_llrs and PARITY.md "LLR noise weighting") ----
     sigma2 = 1.0 / (10.0 ** (snr_db / 10.0))
-    if channel_type == "awgn":
-        noise_var = jnp.full((n_sym,), sigma2, jnp.float32)
-    else:
-        h_pow = jnp.clip(h_de.abs2(), 1e-6, 1e6)
-        noise_var = jnp.maximum(sigma2 / h_pow, sigma2 / 4.0)
+    h_pow = jnp.clip(h_de.abs2(), 1e-6, 1e6)
+    noise_var = jnp.maximum(sigma2 / h_pow, sigma2 / 4.0)
 
     llrs = qam.llrs(de, noise_var, config.modulation)
     llrs = np.asarray(llrs)[:coded_len]

@@ -106,15 +106,33 @@ def receive(signal: C, config: LTEConfig, mode: str = "lte", cell_id: int = 0,
         slot_starts = est.slot_start_indices(S)
         y_slot = y[..., slot_starts, :]                      # (..., n_slots, N+cp)
         y_pil = ofdm.demodulate_bins(y_slot, config, g.pilot_idx)
-        h_pil = est.ls_at_pilots(y_pil, cell_id)             # (..., n_slots, n_pil)
-        psnr = est.pilot_snr_db(y_pil, cell_id, axis=(-2, -1))
-        h_data_slots = est.interpolate(h_pil, config, out_bins=g.data_idx)
-        h_data = est.slot_periodic(h_data_slots, S)          # (..., S, n_data)
-        x_eq = est.zf_equalize(y_data, h_data)
-    else:
-        psnr = est.pilot_snr_db(
-            ofdm.demodulate_bins(y, config, g.pilot_idx), cell_id, axis=(-2, -1))
-        x_eq = y_data
+        return _detect_from_bins(y_data, y_pil, config, mode, cell_id)
+
+    psnr = est.pilot_snr_db(
+        ofdm.demodulate_bins(y, config, g.pilot_idx), cell_id, axis=(-2, -1))
+    x_eq = y_data
+    if mode == "sc-fdm":
+        x_eq = scfdm.decode(x_eq, g.num_data)
+
+    lead = x_eq.shape[:-2]
+    flat = x_eq.reshape(lead + (S * g.num_data,))
+    bits = qam.demodulate(flat, config.modulation)
+    return bits, x_eq, psnr
+
+
+def _detect_from_bins(y_data: C, y_pil: C, config: LTEConfig, mode: str,
+                      cell_id: int = 0):
+    """Equalized-path back half of receive(): CRS LS estimation from the
+    slot-start pilot bins, slot-periodic interpolation, per-symbol ZF,
+    optional SC-FDM decode, hard demap. Split out so the frequency-domain
+    AWGN path can enter with noise already injected at the bins."""
+    g = grid_for(config)
+    S = y_data.shape[-2]
+    h_pil = est.ls_at_pilots(y_pil, cell_id)                 # (..., n_slots, n_pil)
+    psnr = est.pilot_snr_db(y_pil, cell_id, axis=(-2, -1))
+    h_data_slots = est.interpolate(h_pil, config, out_bins=g.data_idx)
+    h_data = est.slot_periodic(h_data_slots, S)              # (..., S, n_data)
+    x_eq = est.zf_equalize(y_data, h_data)
 
     if mode == "sc-fdm":
         x_eq = scfdm.decode(x_eq, g.num_data)
@@ -123,6 +141,44 @@ def receive(signal: C, config: LTEConfig, mode: str = "lte", cell_id: int = 0,
     flat = x_eq.reshape(lead + (S * g.num_data,))
     bits = qam.demodulate(flat, config.modulation)
     return bits, x_eq, psnr
+
+
+def _receive_awgn_freq(key: jax.Array, signal: C, snr_db, config: LTEConfig,
+                       mode: str, measure_axes, cell_id: int = 0):
+    """AWGN receive with the noise injected at the demodulated bins.
+
+    The modem's DFT is unitary and the receiver discards the CP samples
+    and the guard/DC bins, so time-domain CN(0, σ²) noise reaches the
+    detector ONLY as i.i.d. CN(0, σ²) at the S·n_data data bins and the
+    n_slots·n_pil slot-start pilot bins. Injecting it there directly is
+    statistically identical (measured BER 0.085850 vs 0.085941 at 2.15M
+    bits, 64-QAM 15 dB) while generating ~2.1x fewer Gaussians and never
+    materializing a separate rx time signal — measured 1777.7 -> 1298.7
+    µs/step on the 256-lane 20 MHz 64-QAM headline (+27%,
+    tools/profile_siso_stages.py 2026-08-21). σ² keeps the reference's
+    definition against measured mean TX power (channel.py:10-80)."""
+    snr_lin = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
+    p = signal.abs2()
+    sig_power = (jnp.mean(p) if measure_axes is None
+                 else jnp.mean(p, axis=measure_axes))
+    n0 = (sig_power / snr_lin)[..., None, None]              # per-bin var
+
+    g = grid_for(config)
+    y = ofdm.frame_stream(signal, config)
+    S = y.shape[-2]
+    y_data = ofdm.demodulate_bins(y, config, g.data_idx)
+    slot_starts = est.slot_start_indices(S)
+    y_pil = ofdm.demodulate_bins(y[..., slot_starts, :], config, g.pilot_idx)
+
+    def add_cn(k, x):
+        kr, ki = jax.random.split(k)
+        std = jnp.sqrt(n0 / 2.0)
+        return C(x.re + jax.random.normal(kr, x.re.shape, jnp.float32) * std,
+                 x.im + jax.random.normal(ki, x.im.shape, jnp.float32) * std)
+
+    kd, kp = jax.random.split(key)
+    return _detect_from_bins(add_cn(kd, y_data), add_cn(kp, y_pil),
+                             config, mode, cell_id)
 
 
 def _apply_channel(key, signal: C, snr_db, channel_type: str,
@@ -162,11 +218,17 @@ def simulate_siso(key: jax.Array, bits: jnp.ndarray, snr_db,
     papr = ofdm.papr_db(signal_tx, axis=-1)
 
     measure_axes = -1 if bits.ndim > 1 else None
-    signal_rx = _apply_channel(key, signal_tx, snr_db, channel_type,
-                               profile, measure_axes)
-
-    bits_rx, x_eq, psnr = receive(signal_rx, config, mode,
-                                  enable_equalization=enable_equalization)
+    if (channel_type == "awgn" and mode in ("lte", "sc-fdm")
+            and enable_equalization):
+        # TPU-first AWGN: unitary-DFT-equivalent noise at the received
+        # bins (see _receive_awgn_freq) — no rx time signal materialized
+        bits_rx, x_eq, psnr = _receive_awgn_freq(
+            key, signal_tx, snr_db, config, mode, measure_axes)
+    else:
+        signal_rx = _apply_channel(key, signal_tx, snr_db, channel_type,
+                                   profile, measure_axes)
+        bits_rx, x_eq, psnr = receive(
+            signal_rx, config, mode, enable_equalization=enable_equalization)
 
     # follow the caller's bit dtype: with int8 inputs the whole bit-domain
     # HBM traffic (demap write + two compare reads) is 1 B/bit instead of

@@ -92,7 +92,8 @@ def _cmatmul_cost(name, m, k, n, peak=PEAK_F32_FLOPS,
 def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
                     lanes: int = 1,
                     precision: str = "highest",
-                    bits_dtype_bytes: int = 1) -> Dict[str, KernelCost]:
+                    bits_dtype_bytes: int = 1,
+                    awgn_mode: str = "freq") -> Dict[str, KernelCost]:
     """Complete-program cost model for one SISO frame batch: every stage the
     program must execute at the speed-of-light of its unit (MXU matmuls,
     VPU elementwise/RNG, HBM passes). A matmul-only model understates the
@@ -106,8 +107,14 @@ def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
       peak from PEAK_MXU_BY_PRECISION).
     - awgn_channel: power-measure pass (3 flops + 8 B/sample read), RNG
       (2 normals/sample, ~24 VPU flops each for counter-based bits +
-      Box-Muller transcendentals), fused scale-add-write (4 flops,
-      8 B read + 8 B write per sample).
+      Box-Muller transcendentals), fused scale-add (4 flops/sample).
+      awgn_mode="freq" (the sim's AWGN default since 2026-08-21,
+      sim/siso._receive_awgn_freq): noise is injected at the received
+      data/pilot BINS — unitary-DFT equivalent — so the RNG covers
+      S·n_data + n_slots·n_pil bin samples instead of S·(N+cp) time
+      samples and the add fuses into the demod matmul epilogue (no rx
+      time-signal write). awgn_mode="time" models the generic path
+      (channel/awgn.py: full time-domain noise + separate rx write).
     - qam_demap: closed-form per-axis hard decision ~30 flops/symbol, plus
       LLR-free bit emission (8 B/symbol in, bits out).
     - estimate_zf: LS at pilots + lerp + per-bin complex divide,
@@ -118,6 +125,10 @@ def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
     sps = config.samples_per_ofdm_symbol
     T = S * sps                                   # time-domain samples
     D = S * g.num_data                            # data QAM symbols
+    n_slots = max(1, num_symbols // 7)            # CRS slot starts
+    # noise samples the RNG must produce (complex): all time samples in
+    # "time" mode, only the received data+pilot bins in "freq" mode
+    Tb = (D + lanes * n_slots * g.num_pilot) if awgn_mode == "freq" else T
     bits_per = config.bits_per_symbol
     bB = bits_dtype_bytes      # bench feeds int8 bit arrays (1 B/bit);
     #                            int32 callers pay 4 B/bit here
@@ -130,8 +141,10 @@ def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
             "rx_dft_pilot", lanes * max(1, num_symbols // 14), config.N,
             g.num_pilot, mxu),
         "awgn_channel": KernelCost(
-            "awgn_channel", flops=(3 + 2 * 24 + 4) * T,
-            bytes=(8 + 8 + 8) * T, peak_flops=PEAK_VPU_FLOPS),
+            "awgn_channel",
+            flops=(3 * T + (2 * 24 + 4) * Tb),
+            bytes=(8 * T + (0 if awgn_mode == "freq" else 16) * Tb),
+            peak_flops=PEAK_VPU_FLOPS),
         "papr": KernelCost(
             # |x|² + max/mean reductions over the full TX signal
             # (ofdm.papr_db): one read of the complex signal, 4 flops/sample
@@ -160,9 +173,10 @@ def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
 def roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
                     measured_step_s: float,
                     precision: str = "highest",
-                    bits_dtype_bytes: int = 1) -> Dict:
+                    bits_dtype_bytes: int = 1,
+                    awgn_mode: str = "freq") -> Dict:
     costs = siso_frame_cost(config, num_symbols, lanes, precision,
-                            bits_dtype_bytes)
+                            bits_dtype_bytes, awgn_mode)
     total_flops = sum(c.flops for c in costs.values())
     total_bytes = sum(c.bytes for c in costs.values())
     t_roofline = sum(c.roofline_time_s() for c in costs.values())

@@ -193,15 +193,15 @@ class TestRedundancyVersionsAndHarq:
         assert bool(jnp.all(r.bit_errors == 0))
 
     def test_harq_chase_combining_recovers_low_snr(self):
-        """At 2 dB a single QPSK transmission sits far below the turbo
-        waterfall (~4-5 dB in this chain's convention) and must fail; four
-        chase-combined transmissions add ~6 dB of effective SNR and must
-        decode clean."""
+        """At 1 dB a single QPSK transmission sits well below the turbo
+        waterfall (K=1024 knee ~2.7 dB with |Ĥ|²-weighted LLRs) and must
+        fail; four chase-combined transmissions add ~6 dB of effective SNR
+        and must decode clean."""
         cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
         rng = np.random.default_rng(7)
         bits = rng.integers(0, 2, 1000).astype(np.uint8)
         r = coded.simulate_siso_coded_harq(
-            jax.random.PRNGKey(7), bits, 2.0, cfg, rv_sequence=(0, 1, 2, 3))
+            jax.random.PRNGKey(7), bits, 1.0, cfg, rv_sequence=(0, 1, 2, 3))
         assert r.crc_history[0] is False        # 1st transmission fails
         assert r.crc_pass and r.ber == 0.0      # combining recovers
         assert 2 <= r.num_transmissions <= 4
@@ -256,14 +256,15 @@ class TestHarqBatched:
         assert np.all(np.asarray(r.papr_db) > 3.0)
 
     def test_combining_gain_recovers_low_snr(self):
-        """2 dB sits below the single-shot waterfall; four chase-combined
-        transmissions (~+6 dB effective) decode clean — the batched
-        counterpart of test_harq_chase_combining_recovers_low_snr."""
+        """1 dB sits well below the single-shot waterfall (K=1024 knee
+        ~2.7 dB with |Ĥ|²-weighted LLRs); four chase-combined transmissions
+        (~+6 dB effective) decode clean — the batched counterpart of
+        test_harq_chase_combining_recovers_low_snr."""
         cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
         rng = np.random.default_rng(22)
         bits = jnp.asarray(rng.integers(0, 2, (2, 1000)), jnp.int32)
         r = coded.simulate_siso_coded_harq_batched(
-            jax.random.PRNGKey(22), bits, 2.0, cfg)
+            jax.random.PRNGKey(22), bits, 1.0, cfg)
         stage = np.asarray(r.crc_pass_stage)
         assert not np.any(stage[:, 0])        # every 1st transmission fails
         assert np.all(np.asarray(r.crc_pass))
@@ -290,18 +291,18 @@ class TestHarqBatched:
 
 
 def test_coded_waterfall_location():
-    """Waterfall placement (VALIDATION.md coded-waterfall table): at 3.5 dB
-    the chain is mid-transition; at 5 dB every TB decodes clean with CRC
-    pass — in-family with the reference's own curve (which is sharper only
-    because its global-RNG determinism freezes ONE noise sequence per
-    point, n_eff=1; see tools/coded_waterfall.py)."""
+    """Waterfall placement (VALIDATION.md coded-waterfall table): at 3 dB
+    the chain is mid-transition (K=6144 knee ~3.1 dB with the |Ĥ|²-weighted
+    LLRs — ~0.6 dB left of the constant-σ² demap the reference uses, see
+    PARITY.md "LLR noise weighting"); at 5 dB every TB decodes clean with
+    CRC pass."""
     cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
     rng = np.random.default_rng(12)
     bits = jnp.asarray(rng.integers(0, 2, (16, 6000)).astype(np.int32))
     r_mid = coded.simulate_siso_coded_batched(
-        jax.random.PRNGKey(35), bits, 3.5, cfg)
+        jax.random.PRNGKey(35), bits, 3.0, cfg)
     rate_mid = float(jnp.mean(r_mid.crc_pass.astype(jnp.float32)))
-    assert 0.05 < rate_mid < 0.8, rate_mid      # mid-waterfall
+    assert 0.05 < rate_mid < 0.9, rate_mid      # mid-waterfall
     r_hi = coded.simulate_siso_coded_batched(
         jax.random.PRNGKey(50), bits, 5.0, cfg)
     assert bool(jnp.all(r_hi.crc_pass))         # past the waterfall

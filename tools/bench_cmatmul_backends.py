@@ -45,10 +45,10 @@ def main():
         r = run(b)
         print(json.dumps(r), flush=True)
         results.append(r)
-    ok = [r for r in results if "frames_per_s" in r]
+    ok = [r for r in results if "value" in r]
     if ok:
-        best = max(ok, key=lambda r: r["frames_per_s"])
-        print(f"# best: {best['backend']} at {best['frames_per_s']} frames/s",
+        best = max(ok, key=lambda r: r["value"])
+        print(f"# best: {best['backend']} at {best['value']} frames/s",
               file=sys.stderr)
 
 
