@@ -173,7 +173,12 @@ def _time_steps(fn, key, n_steps=20, slow_step_s=None, max_extra_rolls=2,
             return                      # give up on this roll, keep others
         t0 = time.perf_counter()
         final, ys = run(timing_key)
-        jax.block_until_ready(final)
+        # block on EVERY output inside the timed window: blocking on the
+        # carry alone has been observed returning before execution
+        # finished (sfbc roll measured 0.011 ms/step with CORRECT
+        # checksums vs 7.01 ms for its clique peer, 2026-08-21 — a
+        # false-timing artifact, not a wrong binary)
+        jax.block_until_ready((final, ys))
         dt = (time.perf_counter() - t0) / steps
         # same timing_key + same carry recursion => the first n_steps
         # checksums must agree across correct binaries (up to reduction-
@@ -204,7 +209,12 @@ def _time_steps(fn, key, n_steps=20, slow_step_s=None, max_extra_rolls=2,
                      key=lambda i: abs(rolls[i][0] - med))
         clique = [j for j in range(n) if agree(rolls[anchor][1],
                                                rolls[j][1])]
-        return min(rolls[j][0] for j in clique), clique
+        # discard physically implausible timings INSIDE the clique: a roll
+        # >20x faster than its agreeing peers' median is a false-timing
+        # artifact (early block_until_ready return), not a fast binary
+        cmed = sorted(rolls[j][0] for j in clique)[len(clique) // 2]
+        sane = [j for j in clique if rolls[j][0] > cmed / 20.0]
+        return min(rolls[j][0] for j in (sane or clique)), clique
 
     for roll in range(n_rolls):
         do_roll(roll)

@@ -12,9 +12,13 @@ VALIDATION.md can carry a real curve instead of two point anchors, and the
 bench's crc_pass_fraction@5dB can be judged in-family against the
 reference's own pass rate.
 
-Writes tools/coded_waterfall.json incrementally. CPU-only (forces the CPU
-backend in-process). Usage:
-    python tools/coded_waterfall.py [ours|reference|both] [tbs_ours] [tbs_ref]
+Writes tools/coded_waterfall.json incrementally. "ours"/"reference" force
+the CPU backend in-process ('scan' BCJR, ensemble arbiter); "tpu" runs the
+same ensemble on the real chip with the TPU-default 'block' BCJR kernel —
+the VERDICT r2 task-6 validation that the blocked-scan decomposition's
+float reassociation does not move the waterfall (compare the tpu_maxlog
+rows against ours_maxlog within binomial bounds). Usage:
+    python tools/coded_waterfall.py [ours|reference|both|tpu] [tbs] [tbs_ref]
 """
 import contextlib
 import io
@@ -28,10 +32,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-jax.config.update("jax_platforms", "cpu")
+if (sys.argv[1:2] or ["both"])[0] != "tpu":
+    jax.config.update("jax_platforms", "cpu")
+else:
+    _CACHE = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp                                  # noqa: E402
 
 SNRS = [3.0, 3.5, 4.0, 4.5, 5.0, 5.5, 6.0, 7.0]
+SNRS_TPU = [2.5, 3.0, 3.25, 3.5, 4.0, 5.0]
 TB_BITS = 6000
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "coded_waterfall.json")
@@ -44,16 +55,18 @@ def save():
         json.dump(results, f, indent=2)
 
 
-def ours(n_tbs=64):
+def ours(n_tbs=64, tpu=False):
     from ofdm_lte_tpu import LTEConfig
     from ofdm_lte_tpu.sim import coded
 
     cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
     rng = np.random.default_rng(0)
     bits = jnp.asarray(rng.integers(0, 2, (n_tbs, TB_BITS)).astype(np.int32))
-    for mode, uml in (("ours_maxlog", True), ("ours_logmap", False)):
+    modes = ([("tpu_maxlog", True)] if tpu
+             else [("ours_maxlog", True), ("ours_logmap", False)])
+    for mode, uml in modes:
         entry = results.setdefault(mode, {})
-        for snr in SNRS:
+        for snr in (SNRS_TPU if tpu else SNRS):
             k = f"{snr:g}"
             if k in entry:
                 continue
@@ -110,6 +123,9 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     n_ours = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n_ref = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    if which == "tpu":
+        assert jax.default_backend() != "cpu", "tpu mode needs the chip"
+        ours(n_ours, tpu=True)
     if which in ("ours", "both"):
         ours(n_ours)
     if which in ("reference", "both"):
