@@ -66,6 +66,33 @@ def main():
     for snr, ber in zip(np.asarray(r.snr_db), np.asarray(r.ber)):
         print(f"  SNR {snr:5.1f} dB -> post-decode BER {ber:.2e}")
 
+    # --- MIMO detector comparison at sweep scale (identical keys =>
+    #     paired channels/noise). Note: MMSE here is the reference's
+    #     BIASED solution hard-decided without bias compensation, so its
+    #     ordering vs ZF is draw-dependent; SIC's cancellation gain is
+    #     the stable ranking. ---
+    cfgq = LTEConfig(bandwidth=1.25, modulation="QPSK")
+    print("\nSpatial 2x2 rank-2 detector comparison (paired noise, QPSK):")
+    for det in ("ZF", "MMSE", "SIC"):
+        r = sweep.ber_sweep(jax.random.fold_in(key, 3), cfgq,
+                            snr_points=[10.0], frames_per_device=2,
+                            num_ofdm_symbols=14, pipeline="spatial",
+                            num_tx=2, num_rx=2, detector_type=det, rank=2)
+        print(f"  {det:>4}: BER {float(r.ber[0]):.2e}")
+
+    # --- sharded in-graph HARQ: BLER per combined transmission ---
+    rh = sweep.harq_sweep(jax.random.fold_in(key, 4), cfg5,
+                          snr_points=[1.0, 2.5, 4.0],
+                          frames_per_device=1, tb_bits=1000,
+                          rv_sequence=(0, 1), num_iterations=4)
+    print(f"\nHARQ chase combining (1000-bit TBs, {rh.frames} TBs/point, "
+          f"rv schedule 0,1):")
+    for i, snr in enumerate(np.asarray(rh.snr_db)):
+        st = np.asarray(rh.bler_per_stage)[i]
+        print(f"  SNR {snr:4.1f} dB -> BLER after 1 tx {st[0]:.2f}, "
+              f"after 2 {st[1]:.2f}; mean tx "
+              f"{float(rh.avg_transmissions[i]):.2f}")
+
 
 if __name__ == "__main__":
     main()

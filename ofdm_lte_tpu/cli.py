@@ -595,7 +595,7 @@ def build_parser():
         sp.add_argument("--num-rx", type=int, default=2, dest="num_rx")
         sp.add_argument("--rank", default="adaptive")
         sp.add_argument("--detector", default="MMSE",
-                        choices=["MMSE", "ZF", "SIC", "MRC"])
+                        choices=["MMSE", "MMSE-U", "ZF", "SIC", "MRC"])
         sp.add_argument("--codebook", default="TM6", choices=["TM6", "TM4"])
         sp.add_argument("--update-mode", default="adaptive",
                         dest="update_mode", choices=["adaptive", "static"])
@@ -643,8 +643,9 @@ def build_parser():
     sp.add_argument("--num-tx", type=int, default=2, dest="num_tx")
     sp.add_argument("--num-rx", type=int, default=2, dest="num_rx")
     sp.add_argument("--detector", default="MMSE",
-                    choices=["MMSE", "IRC", "ZF", "SIC", "MRC"],
-                    help="MIMO detector (spatial pipeline)")
+                    choices=["MMSE", "MMSE-U", "IRC", "ZF", "SIC", "MRC"],
+                    help="MIMO detector (spatial pipeline; MMSE-U = "
+                         "unbiased MMSE, capability extension)")
     sp.add_argument("--rank", default=None,
                     help="spatial rank: integer or 'full' "
                          "(= min(num_tx, num_rx))")

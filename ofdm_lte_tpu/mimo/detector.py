@@ -68,6 +68,34 @@ def zf(y: C, H_eff: C, regularization: float = 1e-9) -> C:
     return cplx.solve(G, _Hh_y(H_eff, y))
 
 
+def mmse_unbiased(y: C, H_eff: C, sigma2) -> C:
+    """Unbiased MMSE: the reference's MMSE ŝ = (HᴴH+σ²I)⁻¹Hᴴy is BIASED —
+    E[ŝ|s] = (G+σ²I)⁻¹G·s shrinks/mixes layers — and the chain hard-decides
+    without compensation (mimo_detector.py:135-173), so biased MMSE can
+    lose to ZF on hard decisions despite its SINR advantage. Dividing each
+    layer by its bias b_i = 1 − σ²·[(G+σ²I)⁻¹]_ii restores E[ŝ_i|s] ≈ s_i
+    while keeping the MMSE interference suppression; with the bias removed
+    the textbook post-SINR ordering MMSE ≥ ZF translates into error-rate
+    ordering. CAPABILITY EXTENSION (PARITY.md) — the reference ships only
+    the biased form, preserved as detector_type="MMSE"."""
+    L = H_eff.shape[-1]
+    s2 = _align_sigma(sigma2, H_eff)
+    G = _add_diag(_gram(H_eff), s2)
+    s_hat = cplx.solve(G, _Hh_y(H_eff, y))
+    # diag of (G+σ²I)⁻¹ via L unit-vector solves (L ≤ 4, VPU closed form);
+    # Hermitian PD => diagonal is real positive
+    batch = H_eff.shape[:-2]
+    d = []
+    for i in range(L):
+        e = jnp.zeros(batch + (L,), jnp.float32).at[..., i].set(1.0)
+        x = cplx.solve(G, C(e, jnp.zeros_like(e)))
+        d.append(x.re[..., i])
+    dinv = jnp.stack(d, axis=-1)                       # (..., L)
+    s2b = s2[..., None] if jnp.ndim(s2) else s2
+    b = jnp.maximum(1.0 - s2b * dinv, 1e-6)            # bias per layer
+    return C(s_hat.re / b, s_hat.im / b)
+
+
 def mrc(y: C, H_eff: C) -> C:
     """Rank-1 only: H_eff (..., rx, 1)."""
     h = H_eff[..., 0]
@@ -149,6 +177,8 @@ def detect(y: C, H: C, sigma2, detector_type: str = "MMSE", W: C = None,
     dt = detector_type.upper()
     if dt in ("MMSE", "IRC"):
         return mmse(y, H_eff, sigma2)
+    if dt in ("MMSE-U", "MMSE_UNBIASED"):
+        return mmse_unbiased(y, H_eff, sigma2)
     if dt == "ZF":
         return zf(y, H_eff)
     if dt == "SIC":

@@ -14,7 +14,10 @@ mid-process).
 
 THE SUPPORTED DEFAULT IS `default` (single-pass bf16): measured on the
 real chip (tools/precision_study.py, 2026-08-20), it runs the 20 MHz
-64-QAM SISO headline 1.82x faster (138,449 vs 75,885 frames/s) with BER
+64-QAM SISO headline 1.82x faster (138,449 vs 75,885 frames/s at that
+date's time-domain-noise chain; 2026-08-21 freq-noise chain: ~195k vs
+~178k — the gap narrows because the serialized-step dispatch floor
+dominates once the matmuls shrink, see VALIDATION.md) with BER
 statistically identical to `highest` at every anchor — QPSK@6dB
 0.014934 vs 0.014916, 16-QAM@14dB 0.008106 vs 0.008101, 64-QAM@20dB
 0.010046 vs 0.009948, 64-QAM@15dB/20MHz 0.0858505 vs 0.0858605 (all

@@ -208,3 +208,35 @@ def test_pmi_statistics_from_simulation(rng):
     s = csi.pmi_statistics(r.pmi, num_tx=2)
     assert s["total_feedbacks"] == 8
     assert s["pmi_distribution"].sum() == 8
+
+
+def test_unbiased_mmse_beats_biased_on_multiring_qam():
+    """MMSE-U (capability extension, PARITY.md): dividing each layer by
+    its bias b_i = 1 - sigma^2*[(G+sigma^2 I)^-1]_ii must cut errors vs
+    the reference's biased MMSE on multi-ring QAM (the shrinkage pushes
+    outer constellation points toward decision boundaries), and must be
+    EXACTLY the biased result on QPSK (a positive real per-layer scale
+    cannot change a sign decision)."""
+    import jax
+    from ofdm_lte_tpu.parallel import sweep
+    from ofdm_lte_tpu import LTEConfig
+
+    cfg = LTEConfig(bandwidth=1.25, modulation="16-QAM")
+    errs = {}
+    for det in ("MMSE", "MMSE-U"):
+        r = sweep.ber_sweep(jax.random.PRNGKey(5), cfg, [14.0, 18.0],
+                            frames_per_device=2, num_ofdm_symbols=14,
+                            pipeline="spatial", num_tx=2, num_rx=2,
+                            detector_type=det, rank=2)
+        errs[det] = int(np.asarray(r.bit_errors, np.int64).sum())
+    assert errs["MMSE-U"] < errs["MMSE"], errs
+
+    cfgq = LTEConfig(bandwidth=1.25, modulation="QPSK")
+    eq = {}
+    for det in ("MMSE", "MMSE-U"):
+        r = sweep.ber_sweep(jax.random.PRNGKey(5), cfgq, [10.0],
+                            frames_per_device=1, num_ofdm_symbols=14,
+                            pipeline="spatial", num_tx=2, num_rx=2,
+                            detector_type=det, rank=2)
+        eq[det] = int(np.asarray(r.bit_errors, np.int64).sum())
+    assert eq["MMSE"] == eq["MMSE-U"], eq
