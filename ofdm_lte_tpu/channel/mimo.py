@@ -88,6 +88,35 @@ def transmit_simo(key, signal: C, snr_db, num_rx: int, channel_type: str,
     return jax.vmap(leg)(keys)
 
 
+def mimo_mix_noiseless(key, signals_tx: C, snr_db, num_rx: int,
+                       channel_type: str,
+                       profile: MultipathProfile = None):
+    """transmit_mimo's fading/mixing WITHOUT the noise: returns
+    (y (num_rx, ..., T), H, noise_power (num_rx, ...)) with the
+    reference's (P_rx/num_tx)/snr noise power (ofdm_core.py:522-541)."""
+    num_tx = signals_tx.shape[0]
+
+    if channel_type == "awgn":
+        phases = np.exp(1j * np.arange(num_tx) * np.pi / 2)      # (num_tx,)
+        H = np.tile(phases[None, :], (num_rx, 1))
+        Hc = cplx.const(H)
+        y = _mix_links(Hc, signals_tx, num_rx)
+    else:
+        def one_rx(k):
+            ks = jax.random.split(k, num_tx)
+            faded = jax.vmap(
+                lambda kk, x: apply_multipath(kk, x, profile)
+            )(ks, signals_tx)                                     # (num_tx, ..., T)
+            return faded.sum(axis=0)                              # (..., T)
+
+        y = jax.vmap(one_rx)(jax.random.split(key, num_rx))
+        Hc = cplx.cones((num_rx, num_tx))
+
+    snr_lin = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
+    p = jnp.mean(y.abs2(), axis=-1)                               # (rx, ...)
+    return y, Hc, (p / num_tx) / snr_lin
+
+
 def transmit_mimo(key, signals_tx: C, snr_db, num_rx: int, channel_type: str,
                   profile: MultipathProfile = None) -> Tuple[C, C]:
     """signals_tx (num_tx, ..., T) -> (y (num_rx, ..., T), H (num_rx, num_tx)).
@@ -123,19 +152,20 @@ def transmit_mimo(key, signals_tx: C, snr_db, num_rx: int, channel_type: str,
     return y, Hc
 
 
-def transmit_spatial_multiplexing(key, signals_tx: C, snr_db, num_rx: int,
-                                  channel_type: str,
-                                  profile: MultipathProfile = None
-                                  ) -> Tuple[C, C]:
-    """TM4 spatial-multiplexing channel (/root/reference/core/channel.py:397-493).
+def spatial_mix_noiseless(key, signals_tx: C, snr_db, num_rx: int,
+                          channel_type: str,
+                          profile: MultipathProfile = None):
+    """The spatial-multiplexing channel's fading/mixing WITHOUT the noise
+    injection: returns (y (num_rx, ..., T), H, noise_power (num_rx, ...)).
 
-    signals_tx (num_tx, ..., T) -> (y (num_rx, ..., T), H).
-    Flat mode: H[..., rx, tx] iid CN(0,1) applied as scalars; multipath mode:
-    per-link Jakes multipath, H returned as ones (CRS estimation supplies CSI).
-    Noise: P_rx/snr per RX (NOT normalized by num_tx — channel.py:458-464).
-    """
+    noise_power is the reference's per-RX P_rx/snr measured on the
+    post-fading signal (channel.py:458-464) — the caller injects CN noise
+    of that variance wherever it observes the signal. The spatial sim adds
+    it at the demodulated BINS (unitary-DFT equivalent of time-domain
+    noise, same argument and measured BER parity as
+    sim/siso._receive_awgn_freq), skipping ~3x the Gaussian volume and the
+    rx time-signal rewrite."""
     num_tx = signals_tx.shape[0]
-    kf, kn = jax.random.split(key)
     lanes = signals_tx.shape[1:-1]
 
     if channel_type == "rayleigh_mp":
@@ -146,13 +176,37 @@ def transmit_spatial_multiplexing(key, signals_tx: C, snr_db, num_rx: int,
             )(ks, signals_tx)
             return faded.sum(axis=0)
 
-        y = jax.vmap(one_rx)(jax.random.split(kf, num_rx))
+        y = jax.vmap(one_rx)(jax.random.split(key, num_rx))
         H = cplx.cones(lanes + (num_rx, num_tx))
     else:
-        H = flat_mimo_matrix(kf, num_rx, num_tx, lanes)           # (..., rx, tx)
+        H = flat_mimo_matrix(key, num_rx, num_tx, lanes)          # (..., rx, tx)
         # y[rx, ..., t] = Σ_tx H[..., rx, tx] · x[tx, ..., t] (VPU FMAs)
         y = _mix_links(H, signals_tx, num_rx)
 
+    snr_lin = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
+    p = jnp.mean(y.abs2(), axis=-1)                               # (rx, ...)
+    noise_power = p / snr_lin
+    return y, H, noise_power
+
+
+def transmit_spatial_multiplexing(key, signals_tx: C, snr_db, num_rx: int,
+                                  channel_type: str,
+                                  profile: MultipathProfile = None
+                                  ) -> Tuple[C, C]:
+    """TM4 spatial-multiplexing channel (/root/reference/core/channel.py:397-493).
+
+    signals_tx (num_tx, ..., T) -> (y (num_rx, ..., T), H).
+    Flat mode: H[..., rx, tx] iid CN(0,1) applied as scalars; multipath mode:
+    per-link Jakes multipath, H returned as ones (CRS estimation supplies CSI).
+    Noise: P_rx/snr per RX (NOT normalized by num_tx — channel.py:458-464),
+    injected in the time domain (the generic path; the spatial sim uses
+    spatial_mix_noiseless + bin noise instead).
+    """
+    kf, kn = jax.random.split(key)
+    y, H, noise_power = spatial_mix_noiseless(kf, signals_tx, snr_db,
+                                              num_rx, channel_type, profile)
     keys_n = jax.random.split(kn, num_rx)
-    y = jax.vmap(lambda k, yr: _per_rx_noise(k, yr, snr_db, 1.0))(keys_n, y)
+    y = jax.vmap(lambda k, yr, npw: yr + noise_like(k, yr.shape,
+                                                    npw[..., None])
+                 )(keys_n, y, noise_power)
     return y, H

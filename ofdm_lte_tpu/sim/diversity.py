@@ -23,7 +23,7 @@ from ..cplx import C
 from ..config import LTEConfig
 from ..grid import grid_for, pilot_sequence
 from ..ops import qam, ofdm
-from ..channel.mimo import transmit_simo, transmit_mimo
+from ..channel.mimo import transmit_simo, mimo_mix_noiseless
 from ..channel.rayleigh import make_profile
 from ..rx import estimation as est
 from ..rx import alamouti
@@ -37,6 +37,16 @@ class DiversityResult(NamedTuple):
     ber: jnp.ndarray
     papr_db: jnp.ndarray
     symbols_rx: C
+
+
+def _add_cn(key, x: C, noise_power) -> C:
+    """CN(0, noise_power) at the demodulated bins; noise_power (rx, ...)
+    aligns against x (rx, ..., S, bins)."""
+    npw = noise_power[..., None, None]
+    kr, ki = jax.random.split(key)
+    std = jnp.sqrt(npw / 2.0)
+    return C(x.re + jax.random.normal(kr, x.re.shape, jnp.float32) * std,
+             x.im + jax.random.normal(ki, x.im.shape, jnp.float32) * std)
 
 
 # ---------------------------------------------------------------------------
@@ -63,6 +73,11 @@ def simulate_simo(key: jax.Array, bits: jnp.ndarray, snr_db,
     signal_tx = siso_mod.transmit(bits, config)              # (..., T)
     papr = ofdm.papr_db(signal_tx, axis=-1)
 
+    # Time-domain noise DELIBERATELY (unlike sfbc/spatial): moving the
+    # per-leg AWGN to the demodulated bins was measured 25-45% SLOWER here
+    # (31-36k vs 45k frames/s, 2026-08-21) — with the noise barrier gone,
+    # the compiler rematerializes the per-leg Jakes fading chain for the
+    # extra consumers of the noiseless signal.
     y = transmit_simo(key, signal_tx, snr_db, num_rx, channel_type, profile)
     # y: (num_rx, ..., T)
     yf = ofdm.frame_stream(y, config)                        # (num_rx, ..., S, sps)
@@ -126,10 +141,13 @@ def sfbc_transmit(bits: jnp.ndarray, config: LTEConfig) -> C:
     return cplx.stack([sig0, sig1], axis=0)
 
 
-def sfbc_receive(y: C, config: LTEConfig):
+def sfbc_receive(y: C, config: LTEConfig, noise_key=None,
+                 noise_power=None):
     """Per-RX SFBC decode with slot-periodic per-TX CRS estimates.
 
     y: (num_rx, ..., T) -> decoded symbols per RX (num_rx, ..., S, n_even).
+    noise_key/noise_power: inject per-RX CN noise at the demodulated bins
+    (the sims' bin-domain AWGN path); None = y already carries noise.
     """
     g = grid_for(config)
     dbins = sfbc_data_bins(config)
@@ -141,6 +159,10 @@ def sfbc_receive(y: C, config: LTEConfig):
     slot_starts = est.slot_start_indices(S)
     y_slot = yf[..., slot_starts, :]
     y_pil = ofdm.demodulate_bins(y_slot, config, g.pilot_idx)
+    if noise_key is not None:
+        kd, kp = jax.random.split(noise_key)
+        y_data = _add_cn(kd, y_data, noise_power)
+        y_pil = _add_cn(kp, y_pil, noise_power)
     h_tx = estimate_per_tx(y_pil, config, num_tx=2, out_bins=dbins)
     # (num_rx, ..., n_slots, 2, n_even)
     h_tx = est.slot_periodic(h_tx.reshape(h_tx.shape[:-2] + (-1,)), S)
@@ -171,9 +193,11 @@ def simulate_sfbc(key: jax.Array, bits: jnp.ndarray, snr_db,
     signals_tx = sfbc_transmit(bits, config)                 # (2, ..., T)
     papr = jnp.mean(ofdm.papr_db(signals_tx, axis=-1), axis=0)
 
-    y, _H = transmit_mimo(key, signals_tx, snr_db, num_rx, channel_type,
-                          profile)                           # (num_rx, ..., T)
-    decoded_per_rx = sfbc_receive(y, config)                 # (num_rx, ..., S, ne)
+    kch, kn = jax.random.split(key)
+    y, _H, npow = mimo_mix_noiseless(kch, signals_tx, snr_db, num_rx,
+                                     channel_type, profile)  # (num_rx, ..., T)
+    decoded_per_rx = sfbc_receive(y, config, noise_key=kn,
+                                  noise_power=npow)          # (num_rx, ..., S, ne)
     decoded = decoded_per_rx.mean(axis=0)                    # (..., S, n_even)
 
     detected = qam.detect(decoded, config.modulation)

@@ -32,7 +32,7 @@ from ..cplx import C
 from ..config import LTEConfig
 from ..grid import grid_for, orthogonal_pilot_indices
 from ..ops import qam, ofdm
-from ..channel.mimo import transmit_spatial_multiplexing
+from ..channel.mimo import spatial_mix_noiseless
 from ..channel.rayleigh import make_profile
 from ..rx import estimation as est
 from ..rx.mimo_estimation import estimate_per_tx
@@ -104,14 +104,27 @@ def _simulate_spatial_jit(key, bits, snr_db, W_re, W_im, config: LTEConfig,
         tx_sigs.append(sig.reshape(lead + (S * config.samples_per_ofdm_symbol,)))
     signals_tx = cplx.stack(tx_sigs, axis=0)              # (num_tx, ..., T)
 
-    # ---- channel ----
-    y, _H = transmit_spatial_multiplexing(key, signals_tx, snr_db, num_rx,
-                                          channel_type, profile)
+    # ---- channel (fading/mixing only; noise goes in at the bins) ----
+    kch, kd, kp = jax.random.split(key, 3)
+    y, _H, npow = spatial_mix_noiseless(kch, signals_tx, snr_db, num_rx,
+                                        channel_type, profile)
 
     # ---- RX ----
+    # Per-RX AWGN injected at the demodulated bins: the DFT is unitary and
+    # the detector only ever sees these bins, so CN(0, P_rx/snr) here is
+    # statistically identical to the time-domain injection (the
+    # sim/siso._receive_awgn_freq argument) at ~3x less Gaussian volume.
     yf = ofdm.frame_stream(y, config)                     # (num_rx, ..., S, sps)
-    y_data = ofdm.demodulate_bins(yf, config, g.data_idx[:m])
-    y_pil = ofdm.demodulate_bins(yf, config, g.pilot_idx)
+    npw = npow[..., None, None]                           # (rx, ..., 1, 1)
+
+    def add_cn(k, x):
+        kr, ki = jax.random.split(k)
+        std = jnp.sqrt(npw / 2.0)
+        return C(x.re + jax.random.normal(kr, x.re.shape, jnp.float32) * std,
+                 x.im + jax.random.normal(ki, x.im.shape, jnp.float32) * std)
+
+    y_data = add_cn(kd, ofdm.demodulate_bins(yf, config, g.data_idx[:m]))
+    y_pil = add_cn(kp, ofdm.demodulate_bins(yf, config, g.pilot_idx))
     # per-symbol estimation: (num_rx, ..., S, num_tx, m)
     h = estimate_per_tx(y_pil, config, num_tx, out_bins=g.data_idx[:m])
 
