@@ -57,9 +57,38 @@ def effective_channel(H: C, W: C) -> C:
     return cplx.matmul_small(H, W)
 
 
+def _mmse2_fused(y: C, H_eff: C, s2) -> C:
+    """Closed-form 2-layer MMSE with no matrix temporaries: G = HᴴH + σ²I
+    is [[a, b], [b̄, d]] (a, d real), ŝ = G⁻¹Hᴴy via the 2×2 adjugate —
+    direct scalar formulas on the h-column planes. Agrees with the generic
+    gram+solve path to ~2e-6 (inside the 1e-4 reference-parity tolerance)
+    and measured 14% faster at the spatial pipeline's batch shape
+    (4411 → 3783 µs/step isolated, tools/probe_detector_fused.py
+    2026-08-21) — the gram/solve chain's (batch, 2, 2) HBM temporaries
+    are the detector stage's hotspot."""
+    h0 = C(H_eff.re[..., 0], H_eff.im[..., 0])      # (..., rx)
+    h1 = C(H_eff.re[..., 1], H_eff.im[..., 1])
+    if jnp.ndim(s2):
+        s2 = s2.reshape(s2.shape + (1,) * (h0.re.ndim - 1 - jnp.ndim(s2)))
+    a = h0.abs2().sum(-1) + s2
+    d = h1.abs2().sum(-1) + s2
+    b = (h0.conj() * h1).sum(-1)
+    z0 = (h0.conj() * y).sum(-1)
+    z1 = (h1.conj() * y).sum(-1)
+    inv = 1.0 / (a * d - b.abs2())
+    s0 = C((d * z0.re - (b.re * z1.re - b.im * z1.im)) * inv,
+           (d * z0.im - (b.re * z1.im + b.im * z1.re)) * inv)
+    s1 = C((a * z1.re - (b.re * z0.re + b.im * z0.im)) * inv,
+           (a * z1.im - (b.re * z0.im - b.im * z0.re)) * inv)
+    return C(jnp.stack([s0.re, s1.re], -1), jnp.stack([s0.im, s1.im], -1))
+
+
 def mmse(y: C, H_eff: C, sigma2) -> C:
     """y (..., rx), H_eff (..., rx, L) -> ŝ (..., L)."""
-    G = _add_diag(_gram(H_eff), _align_sigma(sigma2, H_eff))
+    s2 = _align_sigma(sigma2, H_eff)
+    if H_eff.shape[-1] == 2:
+        return _mmse2_fused(y, H_eff, s2)
+    G = _add_diag(_gram(H_eff), s2)
     return cplx.solve(G, _Hh_y(H_eff, y))
 
 
