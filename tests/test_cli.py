@@ -114,3 +114,29 @@ def test_cli_bfcompare(capsys, tmp_path):
     assert all("gain_db" in r for r in bf_rows)
     txt = table.read_text()
     assert "8x4 Beamforming" in txt and "Array Gain" in txt
+
+
+def test_cli_sweep_harq_and_detector(capsys, tmp_path):
+    """The round-3 sweep surfaces: --pipeline harq (BLER/avg-transmissions
+    output + checkpoint accumulation) and --detector/--rank on the spatial
+    pipeline."""
+    ckpt = str(tmp_path / "harq.json")
+    argv = ["sweep", "--bandwidth", "5.0", "--modulation", "QPSK",
+            "--pipeline", "harq", "--snr-min", "0", "--snr-max", "30",
+            "--snr-step", "30", "--frames", "1", "--tb-bits", "504",
+            "--rv-sequence", "0,1", "--checkpoint", ckpt]
+    out1 = json.loads(_run(capsys, argv))
+    assert out1["snr_db"] == [0.0, 30.0]
+    assert out1["rv_sequence"] == [0, 1]
+    assert len(out1["bler_per_stage"][0]) == 2
+    assert out1["bler"][1] == 0.0 and out1["avg_transmissions"][1] == 1.0
+    assert out1["bler_per_stage"][0][1] <= out1["bler_per_stage"][0][0]
+    out2 = json.loads(_run(capsys, argv))          # checkpoint accumulates
+    assert out2["tbs_per_point"] == 2 * out1["tbs_per_point"]
+
+    out = json.loads(_run(capsys, [
+        "sweep", "--bandwidth", "1.25", "--modulation", "QPSK",
+        "--pipeline", "spatial", "--detector", "SIC", "--rank", "2",
+        "--snr-min", "30", "--snr-max", "30", "--snr-step", "1",
+        "--frames", "1", "--num-symbols", "14"]))
+    assert out["ber"] == [0.0]
