@@ -146,6 +146,12 @@ def cmd_sweep(args):
             state = prev
             print(f"# resumed from {args.checkpoint} "
                   f"({state['rounds']} rounds done)", file=sys.stderr)
+        else:
+            print(f"# WARNING: checkpoint {args.checkpoint} holds a "
+                  f"different workload/snr grid "
+                  f"({prev.get('workload')!r} vs {workload!r}); "
+                  f"accumulation restarts and the file will be "
+                  f"overwritten", file=sys.stderr)
 
     mesh = (psweep.make_mesh_2d(args.snr_shards)
             if getattr(args, "snr_shards", 1) > 1 else None)
@@ -217,6 +223,12 @@ def _cmd_sweep_harq(args, cfg, snrs):
             state = prev
             print(f"# resumed from {args.checkpoint} "
                   f"({state['frames']} TBs/point done)", file=sys.stderr)
+        else:
+            print(f"# WARNING: checkpoint {args.checkpoint} holds a "
+                  f"different workload/snr grid "
+                  f"({prev.get('workload')!r} vs {workload!r}); "
+                  f"accumulation restarts and the file will be "
+                  f"overwritten", file=sys.stderr)
 
     mesh = (psweep.make_mesh_2d(args.snr_shards)
             if getattr(args, "snr_shards", 1) > 1 else None)
@@ -227,15 +239,15 @@ def _cmd_sweep_harq(args, cfg, snrs):
             snrs, frames_per_device=args.frames, tb_bits=args.tb_bits,
             rv_sequence=rv_seq, mesh=mesh, channel_type=args.channel,
             itu_profile=args.itu_profile, velocity_kmh=args.velocity)
+        # lossless accumulation from the sweep's exact psum-reduced integer
+        # counters (the float ratios are derived views; round-tripping them
+        # could drift by ±1 TB per round under checkpoint resume)
         for i in range(len(snrs)):
             state["tb_failures"][i] += int(r.tb_failures[i])
             for t in range(T):
-                state["stage_failures"][i][t] += int(
-                    round(float(r.bler_per_stage[i, t]) * r.frames))
-            state["tx_sum"][i] += int(
-                round(float(r.avg_transmissions[i]) * r.frames))
-            state["errors"][i] += int(
-                round(float(r.ber[i]) * r.frames * args.tb_bits))
+                state["stage_failures"][i][t] += int(r.stage_failures[i, t])
+            state["tx_sum"][i] += int(r.tx_sum[i])
+            state["errors"][i] += int(r.bit_errors[i])
         state["frames"] += r.frames
         if args.checkpoint:
             with open(args.checkpoint, "w") as f:

@@ -83,6 +83,41 @@ def _mmse2_fused(y: C, H_eff: C, s2) -> C:
     return C(jnp.stack([s0.re, s1.re], -1), jnp.stack([s0.im, s1.im], -1))
 
 
+def mmse2_planes(y_planes, heff_planes, sigma2):
+    """Fused closed-form 2-layer MMSE on per-(rx, layer) channel PLANES.
+
+    y_planes: list over rx of C planes (..., S, m); heff_planes: nested
+    [rx][layer] effective-channel planes of the same shape. Returns
+    [s0, s1] layer planes. Same math as _mmse2_fused, but with the rx and
+    layer axes unrolled as separate arrays every operand keeps the large
+    subcarrier axis minor — no (..., rx, L) trailing-tiny-axis layouts,
+    no moveaxis transposes, no strided column slices (the measured
+    hotspots of the stacked detector layout at the spatial pipeline's
+    batch shape; see VALIDATION.md spatial-stage table)."""
+    s2 = jnp.asarray(sigma2, jnp.float32)
+    nd = y_planes[0].re.ndim
+    if s2.ndim and s2.ndim < nd:
+        s2 = s2.reshape(s2.shape + (1,) * (nd - s2.ndim))
+
+    def csum(terms):
+        acc = None
+        for t in terms:
+            acc = t if acc is None else acc + t
+        return acc
+
+    a = sum(hp[0].abs2() for hp in heff_planes) + s2
+    d = sum(hp[1].abs2() for hp in heff_planes) + s2
+    b = csum(hp[0].conj() * hp[1] for hp in heff_planes)
+    z0 = csum(hp[0].conj() * yr for hp, yr in zip(heff_planes, y_planes))
+    z1 = csum(hp[1].conj() * yr for hp, yr in zip(heff_planes, y_planes))
+    inv = 1.0 / (a * d - b.abs2())
+    s0 = C((d * z0.re - (b.re * z1.re - b.im * z1.im)) * inv,
+           (d * z0.im - (b.re * z1.im + b.im * z1.re)) * inv)
+    s1 = C((a * z1.re - (b.re * z0.re + b.im * z0.im)) * inv,
+           (a * z1.im - (b.re * z0.im - b.im * z0.re)) * inv)
+    return [s0, s1]
+
+
 def mmse(y: C, H_eff: C, sigma2) -> C:
     """y (..., rx), H_eff (..., rx, L) -> ŝ (..., L)."""
     s2 = _align_sigma(sigma2, H_eff)

@@ -54,15 +54,22 @@ def _cmm(a: C, b: C) -> C:
     (measured 191,117 vs 177,709 frames/s on the 20 MHz 64-QAM headline,
     2026-08-21, BER-equivalent — the reassociation is the same class of
     rounding change as the bf16 precision policy), `xla4` elsewhere (the
-    float-faithful form the CPU parity suite runs)."""
+    float-faithful form the CPU parity suite runs). The `highest` f32
+    parity mode also defaults to `xla4` on TPU: that mode exists to
+    reproduce the float-faithful arbiter on-chip, and the Gauss
+    reassociation would silently change its rounding."""
     import os
     from . import pallas_kernels
+    from ..precision import matmul_precision_name
     backend = os.environ.get("OFDM_LTE_TPU_CMATMUL", "").lower()
     if not backend:
         if pallas_kernels.pallas_enabled():
             backend = "pallas"
+        elif (jax.default_backend() == "tpu"
+              and matmul_precision_name() != "highest"):
+            backend = "gauss"
         else:
-            backend = "gauss" if jax.default_backend() == "tpu" else "xla4"
+            backend = "xla4"
     if backend in ("pallas", "pallas_gauss"):
         return pallas_kernels.cmatmul(a, b, gauss=(backend == "pallas_gauss"))
     if backend == "gauss":
@@ -149,6 +156,46 @@ def modulate_custom(data: C, config: LTEConfig, data_bins, pilot_bins,
         tuple(int(b) for b in data_bins), tuple(int(b) for b in pilot_bins),
         cell_id)
     out = _cmm(data, C(jnp.asarray(Bre), jnp.asarray(Bim)))
+    return C(out.re + pw_re, out.im + pw_im)
+
+
+@functools.lru_cache(maxsize=None)
+def _pilot_wave_const(N: int, cp: int, pilot_bins: tuple, cell_id: int):
+    """Constant time-domain CRS contribution for one antenna's pilot layout:
+    pw[t] = Σ_j p_j·exp(2πi·t·k_j/N)/√N over the CP-extended time axis."""
+    t = np.concatenate([np.arange(N - cp, N), np.arange(N)])
+    pilots = pilot_sequence(cell_id, len(pilot_bins))
+    Ap = np.exp(2j * np.pi * np.outer(t, np.asarray(pilot_bins, np.float64))
+                / N) / np.sqrt(N)
+    pw = Ap @ pilots
+    return pw.real.astype(np.float32), pw.imag.astype(np.float32)
+
+
+def modulate_custom_multi(data: C, config: LTEConfig, data_bins,
+                          pilot_bins_per_tx, cell_ids) -> C:
+    """Fused scatter+IDFT+CP for num_tx antennas sharing ONE data-bin layout
+    but carrying per-TX orthogonal CRS (the TM4 spatial TX,
+    /root/reference/core/ofdm_core.py:2610-2654): the DFT submatrix depends
+    only on the shared data bins, so all antennas run through a single
+    batched complex matmul with the antenna axis as a batch dim — no
+    per-antenna dispatch, no stack copy — plus a per-TX constant
+    pilot-wave add.
+
+    data: C (..., tx, m) with the antenna axis at -2
+    -> C (..., tx, N+cp)."""
+    num_tx = data.shape[-2]
+    Bre, Bim, _, _ = _mod_consts_custom(
+        config.N, config.cp_length,
+        tuple(int(b) for b in data_bins), (), 0)
+    out = _cmm(data, C(jnp.asarray(Bre), jnp.asarray(Bim)))
+    pw_re = np.stack([_pilot_wave_const(
+        config.N, config.cp_length,
+        tuple(int(b) for b in pilot_bins_per_tx[tx]),
+        int(cell_ids[tx]))[0] for tx in range(num_tx)])       # (tx, N+cp)
+    pw_im = np.stack([_pilot_wave_const(
+        config.N, config.cp_length,
+        tuple(int(b) for b in pilot_bins_per_tx[tx]),
+        int(cell_ids[tx]))[1] for tx in range(num_tx)])
     return C(out.re + pw_re, out.im + pw_im)
 
 

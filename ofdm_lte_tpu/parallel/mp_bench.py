@@ -102,14 +102,29 @@ def _spawn(num_processes: int, frames: int, n_steps: int,
             cwd=os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))))))
     rates = []
-    for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=timeout_s)
-        if p.returncode != 0:
-            raise RuntimeError(f"mp_bench worker {i} failed:\n{out[-2000:]}")
-        line = [l for l in out.splitlines() if l.startswith("WORKER_RATE")]
-        if not line:
-            raise RuntimeError(f"worker {i} printed no rate:\n{out[-2000:]}")
-        rates.append(float(line[0].split()[2]))
+    try:
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=timeout_s)
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"mp_bench worker {i} failed:\n{out[-2000:]}")
+            line = [l for l in out.splitlines()
+                    if l.startswith("WORKER_RATE")]
+            if not line:
+                raise RuntimeError(
+                    f"worker {i} printed no rate:\n{out[-2000:]}")
+            rates.append(float(line[0].split()[2]))
+    finally:
+        # a failed/hung worker must not leave siblings holding the
+        # jax.distributed coordination port — that poisons measure()'s
+        # retry attempts (these are OUR exact child PIDs, not a pattern)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                try:
+                    p.communicate(timeout=10.0)
+                except Exception:
+                    pass
     return rates
 
 

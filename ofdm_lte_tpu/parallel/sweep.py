@@ -84,7 +84,7 @@ def _run_pipeline(k, b, snr, config, mode, channel_type, itu_profile,
             detector_type=detector_type,
             channel_type=channel_type, itu_profile=itu_profile,
             velocity_kmh=velocity_kmh or 3.0)
-        return r.bit_errors, jnp.zeros_like(r.ber)
+        return r.bit_errors, r.papr_db
     if pipeline == "coded":
         from ..sim import coded
         r = coded.simulate_siso_coded_batched(
@@ -234,6 +234,11 @@ class HarqSweepResult(NamedTuple):
     ber: jnp.ndarray                # (S,) residual info-bit error rate
     tb_failures: jnp.ndarray        # (S,) int
     frames: int                     # TBs per SNR point
+    # exact integer counters (psum-reduced, lossless under checkpoint
+    # accumulation — the ratios above are derived views of these):
+    stage_failures: np.ndarray      # (S, T) int — TBs failing at stage <= t
+    tx_sum: np.ndarray              # (S,) int — total transmissions
+    bit_errors: np.ndarray          # (S,) int — residual info-bit errors
 
 
 def harq_sweep(key: jax.Array, config: LTEConfig, snr_points,
@@ -320,4 +325,4 @@ def harq_sweep(key: jax.Array, config: LTEConfig, snr_points,
     return HarqSweepResult(
         snr_points, fails / frames_per_point, ntx / frames_per_point,
         fails_stage / frames_per_point, errs / total_bits, fails,
-        frames_per_point)
+        frames_per_point, fails_stage, ntx, errs)

@@ -28,13 +28,15 @@ from ..grid import grid_for, pilot_sequence, orthogonal_pilot_indices
 from . import estimation as est
 
 
-def estimate_per_tx(pilot_bins_rx: C, config: LTEConfig, num_tx: int,
-                    out_bins: np.ndarray) -> C:
-    """Estimate H for each TX from the full received pilot-bin vector.
+def estimate_per_tx_planes(pilot_bins_rx: C, config: LTEConfig, num_tx: int,
+                           out_bins: np.ndarray) -> List[C]:
+    """Per-TX estimates as a LIST of planes (no trailing tx axis).
 
     pilot_bins_rx: C (..., n_pilot_all) — received values at ALL CRS pilot
-    bins (the union over TX). Returns C (..., num_tx, len(out_bins)).
-    """
+    bins (the union over TX) for one RX. Returns [num_tx] C planes of
+    shape (..., len(out_bins)). The plane form feeds the spatial
+    pipeline's plane-based detector (mimo.detector.mmse2_planes) without
+    materializing a (..., tx, n_out) stacked array."""
     g = grid_for(config)
     step = num_tx if num_tx <= 4 else 4
     per_tx = []
@@ -45,4 +47,16 @@ def estimate_per_tx(pilot_bins_rx: C, config: LTEConfig, num_tx: int,
         h_p = rx_p * known.conj()          # unit-modulus pilots: Y/X = Y·X*
         h = est.interpolate(h_p, config, out_bins=out_bins, pilot_idx=idx)
         per_tx.append(h)
-    return cplx.stack(per_tx, axis=-2)     # (..., num_tx, n_out)
+    return per_tx
+
+
+def estimate_per_tx(pilot_bins_rx: C, config: LTEConfig, num_tx: int,
+                    out_bins: np.ndarray) -> C:
+    """Estimate H for each TX from the full received pilot-bin vector.
+
+    pilot_bins_rx: C (..., n_pilot_all) — received values at ALL CRS pilot
+    bins (the union over TX). Returns C (..., num_tx, len(out_bins)).
+    """
+    return cplx.stack(
+        estimate_per_tx_planes(pilot_bins_rx, config, num_tx, out_bins),
+        axis=-2)                           # (..., num_tx, n_out)

@@ -319,7 +319,8 @@ class HarqBatchResult(NamedTuple):
     ber: jnp.ndarray                # (...,) float32
     crc_pass: jnp.ndarray           # (...,) bool — passed at ANY stage
     num_transmissions: jnp.ndarray  # (...,) int32 — 1..T (T if never passed)
-    crc_pass_stage: jnp.ndarray     # (..., T) bool — after each combine
+    crc_pass_stage: jnp.ndarray     # (..., T) bool — passed at any stage <= t
+    #                                 (latched at first pass; cumulative)
     papr_db: jnp.ndarray            # (...,) float32 — first transmission
 
 
@@ -383,7 +384,10 @@ def _coded_chain_harq_batched(key, bits, snr_db, config: LTEConfig,
         bits_rx = jnp.where(take[..., None], tb_rx[..., :n_orig], bits_rx)
         num_tx = jnp.where(~done, t + 1, num_tx)
         done = done | pass_t
-        stages.append(pass_t)
+        # latch at the first pass: stage t records "passed at any stage
+        # <= t", so per-stage BLER is cumulative (structurally monotone)
+        # and stage T-1 equals the residual crc_pass
+        stages.append(done)
 
     errors = jnp.sum((bits_rx != bits).astype(jnp.int32), axis=-1)
     return HarqBatchResult(bits_rx, errors,

@@ -21,6 +21,7 @@ Functional replacement for the module-level simulate_spatial_multiplexing
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -33,9 +34,9 @@ from ..config import LTEConfig
 from ..grid import grid_for, orthogonal_pilot_indices
 from ..ops import qam, ofdm
 from ..channel.mimo import spatial_mix_noiseless
-from ..channel.rayleigh import make_profile
+from ..channel.rayleigh import make_profile, flat_mimo_matrix
 from ..rx import estimation as est
-from ..rx.mimo_estimation import estimate_per_tx
+from ..rx.mimo_estimation import estimate_per_tx_planes
 from ..mimo import codebook as cb
 from ..mimo import layer_mapper, detector
 from ..mimo.rank_adaptation import get_feedback
@@ -46,6 +47,7 @@ class SpatialResult(NamedTuple):
     bit_errors: jnp.ndarray
     ber: jnp.ndarray
     symbols_rx: C
+    papr_db: jnp.ndarray    # (...,) mean over TX antennas (as sfbc)
 
 
 def decide_rank_pmi(num_tx: int, num_rx: int, snr_db: float,
@@ -63,14 +65,34 @@ def decide_rank_pmi(num_tx: int, num_rx: int, snr_db: float,
     return rank_used, 0, W
 
 
+@functools.lru_cache(maxsize=None)
+def _pilot_bin_union_values(N: int, Nc: int, num_tx: int):
+    """Per-TX transmitted values over the UNION CRS pilot grid: TX t carries
+    pilot_sequence(t%4) on every step-th union bin with offset t, zeros on
+    the other TXs' bins (ofdm_core.py:2642-2654 realized on the bin grid).
+    Returns a list of num_tx complex (n_pilot_union,) NumPy vectors."""
+    from ..grid import make_grid, pilot_sequence
+    g = make_grid(N, Nc)
+    step = num_tx if num_tx <= 4 else 4
+    out = []
+    for tx in range(num_tx):
+        v = np.zeros(g.num_pilot, np.complex128)
+        n = len(g.pilot_idx[tx % step::step])
+        v[tx % step::step] = pilot_sequence(tx % 4, n)
+        out.append(v)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=(
     "config", "num_tx", "num_rx", "rank_used", "detector_type",
-    "channel_type", "itu_profile", "velocity_kmh", "frequency_ghz"))
+    "channel_type", "itu_profile", "velocity_kmh", "frequency_ghz",
+    "channel_impl"))
 def _simulate_spatial_jit(key, bits, snr_db, W_re, W_im, config: LTEConfig,
                           num_tx: int, num_rx: int, rank_used: int,
                           detector_type: str, channel_type: str,
                           itu_profile: str, velocity_kmh,
-                          frequency_ghz) -> SpatialResult:
+                          frequency_ghz,
+                          channel_impl: str = "time") -> SpatialResult:
     g = grid_for(config)
     nd = g.num_data
     bps = config.bits_per_symbol
@@ -96,58 +118,174 @@ def _simulate_spatial_jit(key, bits, snr_db, W_re, W_im, config: LTEConfig,
     x = cplx.matmul_small(W, layers)
 
     pil_idx = orthogonal_pilot_indices(config, num_tx)
-    tx_sigs = []
-    for tx in range(num_tx):
-        data_tx = x[..., tx, :]                           # (..., S, m)
-        sig = ofdm.modulate_custom(data_tx, config, g.data_idx[:m],
-                                   pil_idx[tx], tx % 4)
-        tx_sigs.append(sig.reshape(lead + (S * config.samples_per_ofdm_symbol,)))
-    signals_tx = cplx.stack(tx_sigs, axis=0)              # (num_tx, ..., T)
-
-    # ---- channel (fading/mixing only; noise goes in at the bins) ----
     kch, kd, kp = jax.random.split(key, 3)
-    y, _H, npow = spatial_mix_noiseless(kch, signals_tx, snr_db, num_rx,
-                                        channel_type, profile)
-
-    # ---- RX ----
-    # Per-RX AWGN injected at the demodulated bins: the DFT is unitary and
-    # the detector only ever sees these bins, so CN(0, P_rx/snr) here is
-    # statistically identical to the time-domain injection (the
-    # sim/siso._receive_awgn_freq argument) at ~3x less Gaussian volume.
-    yf = ofdm.frame_stream(y, config)                     # (num_rx, ..., S, sps)
-    npw = npow[..., None, None]                           # (rx, ..., 1, 1)
-
-    def add_cn(k, x):
-        kr, ki = jax.random.split(k)
-        std = jnp.sqrt(npw / 2.0)
-        return C(x.re + jax.random.normal(kr, x.re.shape, jnp.float32) * std,
-                 x.im + jax.random.normal(ki, x.im.shape, jnp.float32) * std)
-
-    y_data = add_cn(kd, ofdm.demodulate_bins(yf, config, g.data_idx[:m]))
-    y_pil = add_cn(kp, ofdm.demodulate_bins(yf, config, g.pilot_idx))
-    # per-symbol estimation: (num_rx, ..., S, num_tx, m)
-    h = estimate_per_tx(y_pil, config, num_tx, out_bins=g.data_idx[:m])
-
-    # rearrange for the detector: y (..., S, m, rx), H (..., S, m, rx, tx)
-    nb = y_data.ndim
-    y_det = C(jnp.moveaxis(y_data.re, 0, -1), jnp.moveaxis(y_data.im, 0, -1))
-    h_det = C(jnp.moveaxis(jnp.moveaxis(h.re, 0, -1), -3, -1),
-              jnp.moveaxis(jnp.moveaxis(h.im, 0, -1), -3, -1))
-    # h was (rx, ..., S, tx, m) -> move rx to last (=-1): (..., S, tx, m, rx)
-    # -> move tx (-3) to last: (..., S, m, rx, tx)
-
     noise_var = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 10.0)
-    layers_rx = detector.detect(y_det, h_det, noise_var,
-                                detector_type=detector_type, W=W,
-                                modulation=config.modulation)
-    # (..., S, m, L) -> (..., S, L, m)
-    layers_rx = C(layers_rx.re.swapaxes(-1, -2), layers_rx.im.swapaxes(-1, -2))
-    syms_rx = layer_mapper.demap_from_layers(layers_rx, original_length=nd)
+    snr_lin = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
+
+    if channel_impl == "bins":
+        # ---- flat channel, bin domain (PARITY.md divergence: algebraic
+        # identity, not an approximation) ----
+        # For a FLAT channel the modem DFT round trip is exactly the
+        # identity on the occupied bins (the TX signal is a sum of
+        # exponentials at bin frequencies over the CP-stripped N-window),
+        # so  Y[rx, k] = Σ_tx H[rx,tx]·X[tx, k] + noise  holds EXACTLY —
+        # no RX time signal, no per-RX DFT matmuls, no mixing pass over
+        # the (num_tx + num_rx)·T sample arrays. The TX time signals ARE
+        # still synthesized (one batched matmul over the antenna axis)
+        # because PAPR and the reference's measured-power noise convention
+        # (P_rx = mean_t |y_rx(t)|², channel.py:458-464) are time-domain
+        # quantities; P_rx is recovered exactly (up to fp reassociation)
+        # from the TX cross-correlation matrix
+        #   P_r = Σ_{t1,t2} Re(H[r,t1]·H*[r,t2]·R[t1,t2]),
+        #   R[t1,t2] = mean_t x_t1(t)·x_t2*(t).
+        sig4 = ofdm.modulate_custom_multi(
+            x, config, g.data_idx[:m],
+            tuple(tuple(int(b) for b in p) for p in pil_idx),
+            tuple(tx % 4 for tx in range(num_tx)))        # (..., S, tx, sps)
+        papr = jnp.mean(ofdm.papr_db(sig4, axis=(-3, -1)), axis=-1)
+
+        H = flat_mimo_matrix(kch, num_rx, num_tx, lead)   # (..., rx, tx)
+
+        def tx_plane(t):
+            return C(sig4.re[..., t, :], sig4.im[..., t, :])
+
+        R = {}
+        for t1 in range(num_tx):
+            for t2 in range(t1, num_tx):
+                R[(t1, t2)] = (tx_plane(t1) * tx_plane(t2).conj()).mean(
+                    axis=(-2, -1))                        # (...,) complex
+
+        def h_el(r, t):
+            return C(H.re[..., r, t], H.im[..., r, t])    # (...,)
+
+        p_rx = []
+        for r in range(num_rx):
+            p = None
+            for t1 in range(num_tx):
+                term = h_el(r, t1).abs2() * R[(t1, t1)].re
+                p = term if p is None else p + term
+                for t2 in range(t1 + 1, num_tx):
+                    cross = h_el(r, t1) * h_el(r, t2).conj() * R[(t1, t2)]
+                    p = p + 2.0 * cross.re
+            p_rx.append(p)                                # (...,)
+        npow = jnp.stack(p_rx, axis=0) / snr_lin          # (rx, ...)
+        npw = npow[..., None, None]                       # (rx, ..., 1, 1)
+        std = jnp.sqrt(npw / 2.0)
+
+        # one RNG call per (data, pilot) noise block, sliced per RX —
+        # same draw structure/count as the time path's add_cn
+        kdr, kdi = jax.random.split(kd)
+        nre_d = jax.random.normal(kdr, (num_rx,) + lead + (S, m), jnp.float32)
+        nim_d = jax.random.normal(kdi, (num_rx,) + lead + (S, m), jnp.float32)
+        kpr, kpi = jax.random.split(kp)
+        npil = (num_rx,) + lead + (S, g.num_pilot)
+        nre_p = jax.random.normal(kpr, npil, jnp.float32)
+        nim_p = jax.random.normal(kpi, npil, jnp.float32)
+
+        pil_vals = _pilot_bin_union_values(config.N, config.Nc, num_tx)
+        y_planes, ypil_planes = [], []
+        for r in range(num_rx):
+            acc = None
+            pacc = None
+            for t in range(num_tx):
+                h_rt = h_el(r, t)
+                hb = C(h_rt.re[..., None, None], h_rt.im[..., None, None])
+                term = hb * C(x.re[..., t, :], x.im[..., t, :])
+                acc = term if acc is None else acc + term
+                pterm = hb * cplx.const(pil_vals[t])
+                pacc = pterm if pacc is None else pacc + pterm
+            y_planes.append(C(acc.re + nre_d[r] * std[r],
+                              acc.im + nim_d[r] * std[r]))
+            ypil_planes.append(C(pacc.re + nre_p[r] * std[r],
+                                 pacc.im + nim_p[r] * std[r]))
+    else:
+        # ---- generic time-domain channel (multipath / parity arbiter) ----
+        tx_sigs = []
+        for tx in range(num_tx):
+            data_tx = x[..., tx, :]                       # (..., S, m)
+            sig = ofdm.modulate_custom(data_tx, config, g.data_idx[:m],
+                                       pil_idx[tx], tx % 4)
+            tx_sigs.append(sig.reshape(
+                lead + (S * config.samples_per_ofdm_symbol,)))
+        signals_tx = cplx.stack(tx_sigs, axis=0)          # (num_tx, ..., T)
+        papr = jnp.mean(ofdm.papr_db(signals_tx, axis=-1), axis=0)
+
+        # channel (fading/mixing only; noise goes in at the bins)
+        y, _H, npow = spatial_mix_noiseless(kch, signals_tx, snr_db, num_rx,
+                                            channel_type, profile)
+
+        # Per-RX AWGN injected at the demodulated bins: the DFT is unitary
+        # and the detector only ever sees these bins, so CN(0, P_rx/snr)
+        # here is statistically identical to the time-domain injection
+        # (the sim/siso._receive_awgn_freq argument) at ~3x less Gaussian
+        # volume.
+        yf = ofdm.frame_stream(y, config)                 # (rx, ..., S, sps)
+        npw = npow[..., None, None]                       # (rx, ..., 1, 1)
+
+        def add_cn(k, v):
+            kr, ki = jax.random.split(k)
+            std = jnp.sqrt(npw / 2.0)
+            return C(v.re + jax.random.normal(kr, v.re.shape,
+                                              jnp.float32) * std,
+                     v.im + jax.random.normal(ki, v.im.shape,
+                                              jnp.float32) * std)
+
+        y_data = add_cn(kd, ofdm.demodulate_bins(yf, config, g.data_idx[:m]))
+        y_pil = add_cn(kp, ofdm.demodulate_bins(yf, config, g.pilot_idx))
+        y_planes = [C(y_data.re[r], y_data.im[r]) for r in range(num_rx)]
+        ypil_planes = [C(y_pil.re[r], y_pil.im[r]) for r in range(num_rx)]
+
+    # ---- estimation + detection, all in per-(rx, tx) PLANES ----
+    # per-symbol CRS estimation (ofdm_core.py:2743-2758): h_planes[r][t]
+    # is (..., S, m) — no stacked (rx, tx)-trailing arrays, so the
+    # detector's operands keep the subcarrier axis minor
+    h_planes = [estimate_per_tx_planes(ypil_planes[r], config, num_tx,
+                                       out_bins=g.data_idx[:m])
+                for r in range(num_rx)]
+
+    dt = detector_type.upper()
+    if dt in ("MMSE", "IRC") and rank_used == 2:
+        # effective channel per plane: heff[r][l] = Σ_t h[r][t]·W[t,l]
+        heff = []
+        for r in range(num_rx):
+            row = []
+            for l in range(rank_used):
+                acc = None
+                for t in range(num_tx):
+                    term = h_planes[r][t] * C(W.re[t, l], W.im[t, l])
+                    acc = term if acc is None else acc + term
+                row.append(acc)
+            heff.append(row)
+        s_planes = detector.mmse2_planes(y_planes, heff, noise_var)
+        # interleave layers back to symbol order: stack on a NEW minor
+        # axis gives (..., S, m, L) = demap_from_layers' transposed form
+        syms_rx = C(jnp.stack([p.re for p in s_planes], axis=-1),
+                    jnp.stack([p.im for p in s_planes], axis=-1))
+        syms_rx = syms_rx.reshape(lead + (S, m * rank_used))[..., :nd]
+    else:
+        # generic detectors (ZF/SIC/MRC/MMSE-U, ranks != 2): stacked
+        # (..., S, m, rx[, tx]) layout + batched solves
+        y_det = C(jnp.stack([p.re for p in y_planes], axis=-1),
+                  jnp.stack([p.im for p in y_planes], axis=-1))
+        h_det = C(
+            jnp.stack([jnp.stack([h_planes[r][t].re for t in range(num_tx)],
+                                 axis=-1) for r in range(num_rx)], axis=-2),
+            jnp.stack([jnp.stack([h_planes[r][t].im for t in range(num_tx)],
+                                 axis=-1) for r in range(num_rx)], axis=-2))
+        layers_rx = detector.detect(y_det, h_det, noise_var,
+                                    detector_type=detector_type, W=W,
+                                    modulation=config.modulation)
+        # (..., S, m, L) -> (..., S, L, m)
+        layers_rx = C(layers_rx.re.swapaxes(-1, -2),
+                      layers_rx.im.swapaxes(-1, -2))
+        syms_rx = layer_mapper.demap_from_layers(layers_rx,
+                                                 original_length=nd)
 
     flat = syms_rx.reshape(lead + (S * nd,))
     bits_rx = qam.demodulate(flat, config.modulation).astype(bits.dtype)
     errors = jnp.sum((bits_rx != bits).astype(jnp.int32), axis=-1)
-    return SpatialResult(bits_rx, errors, errors / bits.shape[-1], syms_rx)
+    return SpatialResult(bits_rx, errors, errors / bits.shape[-1], syms_rx,
+                         papr)
 
 
 def simulate_spatial_multiplexing(key, bits, snr_db, config: LTEConfig = None,
@@ -169,11 +307,24 @@ def simulate_spatial_multiplexing(key, bits, snr_db, config: LTEConfig = None,
         snr_static = 0.0   # unused for fixed rank (W = codebook PMI 0)
     rank_used, _pmi, W = decide_rank_pmi(num_tx, num_rx, snr_static, rank,
                                          seed)
+    # the flat ("awgn"/iid) channel runs in the bin domain by default — an
+    # exact algebraic identity, see _simulate_spatial_jit. Set
+    # OFDM_LTE_TPU_SPATIAL_CHANNEL=time to force the time-domain arbiter
+    # path (read at trace time, like OFDM_LTE_TPU_CMATMUL).
+    if channel_type == "rayleigh_mp":
+        channel_impl = "time"
+    else:
+        channel_impl = os.environ.get("OFDM_LTE_TPU_SPATIAL_CHANNEL",
+                                      "bins").lower()
+        if channel_impl not in ("bins", "time"):
+            raise ValueError(
+                f"OFDM_LTE_TPU_SPATIAL_CHANNEL={channel_impl!r}; "
+                "pick from ['bins', 'time']")
     return _simulate_spatial_jit(
         key, bits, snr_db,
         jnp.asarray(W.real, jnp.float32), jnp.asarray(W.imag, jnp.float32),
         config, num_tx, num_rx, rank_used, detector_type, channel_type,
-        itu_profile, velocity_kmh, frequency_ghz)
+        itu_profile, velocity_kmh, frequency_ghz, channel_impl)
 
 
 def bits_per_frame(config: LTEConfig, num_ofdm_symbols: int) -> int:

@@ -126,6 +126,38 @@ def test_batched_lanes_per_lane_snr():
     assert b.shape == (lanes,) and b[0] > b[2] == 0.0
 
 
+def test_bin_channel_matches_time_path():
+    """The bin-domain flat spatial channel (PARITY.md divergence 7) is an
+    algebraic identity: same key => same BER as the time-domain path (CPU
+    f32 DFTs are exact enough that even the hard decisions agree), and
+    PAPR agrees to float tolerance."""
+    import os
+    cfg = LTEConfig(bandwidth=5.0, modulation="16-QAM")
+    rng = np.random.default_rng(7)
+    bits = jnp.asarray(rng.integers(
+        0, 2, (3, spatial.bits_per_frame(cfg, 14))).astype(np.int32))
+    snr = jnp.asarray([8.0, 15.0, 30.0], jnp.float32)
+    key = jax.random.PRNGKey(11)
+    r_bin = spatial.simulate_spatial_multiplexing(
+        key, bits, snr, cfg, num_tx=2, num_rx=2, rank=2,
+        detector_type="MMSE")
+    os.environ["OFDM_LTE_TPU_SPATIAL_CHANNEL"] = "time"
+    jax.clear_caches()
+    try:
+        r_time = spatial.simulate_spatial_multiplexing(
+            key, bits, snr, cfg, num_tx=2, num_rx=2, rank=2,
+            detector_type="MMSE")
+    finally:
+        del os.environ["OFDM_LTE_TPU_SPATIAL_CHANNEL"]
+        jax.clear_caches()
+    # hard-decision agreement: identical draws, only fp reassociation +
+    # the exact-vs-round-tripped DFT separate the two paths
+    assert np.max(np.abs(np.asarray(r_bin.ber)
+                         - np.asarray(r_time.ber))) < 2e-4
+    np.testing.assert_allclose(np.asarray(r_bin.papr_db),
+                               np.asarray(r_time.papr_db), atol=1e-4)
+
+
 def test_spatial_sic_beats_zf_at_moderate_snr():
     cfg = LTEConfig(bandwidth=5.0, modulation="16-QAM")
     e = {"ZF": 0, "SIC": 0}
