@@ -48,6 +48,9 @@ REF_SIMO_FPS = 8.798       # 5 MHz QPSK 1x4 Rayleigh Ped-A (BASELINE.md)
 REF_CODED_TBPS = 0.147     # 6000-bit TB, QPSK 5 MHz @5 dB, 8 iterations
 # (the reference's 2x1 Alamouti path crashes as-shipped — no denominator)
 
+DISPATCH_FLOOR_S = 1.4e-3   # serialized-step floor on this backend (a
+#                             trivial scan body costs 1.3-1.5 ms/step,
+#                             VALIDATION.md dispatch-floor analysis)
 LANES = 256         # measured sweet spot (64->256 lanes: +48% frames/s;
                     # 384/512 lanes REGRESS: 129k/143k vs 147k f/s,
                     # tools/probe_lanes.py 2026-08-20)
@@ -269,14 +272,19 @@ def bench_siso(cfg, snr_db=15.0, lanes=LANES, n_rolls=N_COMPILE_ROLLS):
     return lanes / dt, ber
 
 
-def bench_spatial(cfg):
+SPATIAL_LANES = 1024   # measured knee 2026-08-21 (bin-domain pipeline):
+#                        256/512/1024 lanes -> 58.5k/64.0k/68.7k frames/s,
+#                        results/spatial_lane_scaling.json
+
+
+def bench_spatial(cfg, lanes=SPATIAL_LANES):
     from ofdm_lte_tpu.sim import spatial
 
     rng = np.random.default_rng(0)
     bits = jnp.asarray(rng.integers(
-        0, 2, (LANES, spatial.bits_per_frame(cfg, NUM_SYMBOLS))
+        0, 2, (lanes, spatial.bits_per_frame(cfg, NUM_SYMBOLS))
     ).astype(np.int8))
-    snr = jnp.full((LANES,), 15.0, jnp.float32)
+    snr = jnp.full((lanes,), 15.0, jnp.float32)
 
     def step(key):
         r = spatial.simulate_spatial_multiplexing(
@@ -284,8 +292,10 @@ def bench_spatial(cfg):
             detector_type="MMSE")
         return r.bit_errors
 
-    dt = _time_steps(step, _key(0), n_steps=10, slow_step_s=LANES / 400.0)
-    return LANES / dt
+    # known-good bin-domain binaries run >=55k frames/s at 1024 lanes;
+    # below ~25k every roll drew a bad binary - keep rolling
+    dt = _time_steps(step, _key(0), n_steps=10, slow_step_s=lanes / 25000.0)
+    return lanes / dt
 
 
 def bench_scfdm():
@@ -331,8 +341,21 @@ def bench_simo():
 
     fps = LANES / _time_steps(step, _key(0), n_steps=10,
                               slow_step_s=LANES / 500.0, n_rolls=2)
+    # channel-FIR roofline (VERDICT r3 task 2): the Jakes E@P matmul +
+    # per-tap delayed FMA modeled against the measured step
+    from ofdm_lte_tpu.precision import matmul_precision_name
+    from ofdm_lte_tpu.utils.profiling import (simo_frame_cost,
+                                              fir_roofline_report)
+    rl = fir_roofline_report(
+        simo_frame_cost(cfg, NUM_SYMBOLS, LANES, num_rx=4,
+                        precision=matmul_precision_name()),
+        measured_step_s=LANES / fps,
+        precision=matmul_precision_name(),
+        dispatch_floor_s=DISPATCH_FLOOR_S)
     return {"frames_per_s": round(fps, 2),
             "vs_reference_cpu": round(fps / REF_SIMO_FPS, 2),
+            "roofline": {k: (round(v, 4) if isinstance(v, float) else v)
+                         for k, v in rl.items()},
             "rolls": _rolls_record()}
 
 
@@ -357,8 +380,19 @@ def bench_sfbc():
 
     fps = LANES / _time_steps(step, _key(0), n_steps=10,
                               slow_step_s=LANES / 500.0, n_rolls=2)
+    from ofdm_lte_tpu.precision import matmul_precision_name
+    from ofdm_lte_tpu.utils.profiling import (sfbc_frame_cost,
+                                              fir_roofline_report)
+    rl = fir_roofline_report(
+        sfbc_frame_cost(cfg, NUM_SYMBOLS, LANES, num_rx=1,
+                        precision=matmul_precision_name()),
+        measured_step_s=LANES / fps,
+        precision=matmul_precision_name(),
+        dispatch_floor_s=DISPATCH_FLOOR_S)
     return {"frames_per_s": round(fps, 2),
             "note": "reference path crashes as-shipped; no denominator",
+            "roofline": {k: (round(v, 4) if isinstance(v, float) else v)
+                         for k, v in rl.items()},
             "rolls": _rolls_record()}
 
 
@@ -584,10 +618,26 @@ def main():
     def spatial_entry():
         fps = bench_spatial(cfg)
         return {"frames_per_s": round(fps, 2),
+                "lanes": SPATIAL_LANES,
                 "vs_reference_cpu": round(fps / REF_SPATIAL_FPS, 2),
                 "rolls": _rolls_record()}
 
     _run_entry("spatial_2x2_20MHz_64QAM", spatial_entry, est_s=400)
+
+    # roofline accounting for the spatial north-star (VERDICT r3 task 1):
+    # complete-program cost model of the bin-domain pipeline vs the
+    # measured step, with the serialized-dispatch floor isolated
+    sp_entry = _details.get("spatial_2x2_20MHz_64QAM", {})
+    if "frames_per_s" in sp_entry:
+        def spatial_roofline():
+            from ofdm_lte_tpu.utils.profiling import spatial_roofline_report
+            rl = spatial_roofline_report(
+                cfg, NUM_SYMBOLS, SPATIAL_LANES,
+                measured_step_s=SPATIAL_LANES / sp_entry["frames_per_s"],
+                precision=precision, dispatch_floor_s=DISPATCH_FLOOR_S)
+            return {k: (round(v, 4) if isinstance(v, float) else v)
+                    for k, v in rl.items()}
+        _run_entry("spatial_roofline", spatial_roofline, est_s=5)
     _run_entry("siso_batch_scaling", lambda: bench_batch_scaling(cfg),
                est_s=400)
     _run_entry("coded_5MHz_QPSK_6000bit_TB", bench_coded, est_s=300)
@@ -598,6 +648,19 @@ def main():
     _run_entry("sfbc_2x1_rayleigh_10MHz_16QAM", bench_sfbc, est_s=300)
     _run_entry("ber_sweep_wall_clock", lambda: bench_sweep_wall_clock(cfg),
                est_s=200)
+
+    # committed offline-measured scaling artifacts (tools/probe_*_lanes.py)
+    # surfaced into BENCH_DETAILS so every run's record is self-contained
+    for name, fname in (("spatial_lane_scaling",
+                         "spatial_lane_scaling.json"),
+                        ("coded_batch_scaling",
+                         "coded_batch_scaling.json")):
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "results", fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                _record(name, {"source": f"results/{fname} (offline probe)",
+                               **json.load(f)})
 
     _record("wall_clock_s", round(time.monotonic() - _T0, 1))
 

@@ -103,14 +103,17 @@ def jakes_taps(key: jax.Array, profile: MultipathProfile, num_samples: int,
     t = jnp.arange(T, dtype=jnp.float32) / profile.fs
     alpha = 2.0 * np.pi * np.arange(1, ns + 1) / ns
     omega = (2.0 * np.pi * profile.doppler_hz * np.cos(alpha)).astype(np.float32)
-    E = cplx.expi(t[:, None] * omega[None, :])                # (T, Ns)
+    # build the sinusoid matrix TRANSPOSED so the matmul emits (L, T)
+    # directly — the (T, L) orientation needed a full transpose copy of
+    # the tap waveforms (2·8·L·T bytes of pure HBM traffic; at the SIMO
+    # 1x4 bench shape that is ~500 MB/step)
+    E = cplx.expi(omega[:, None] * t[None, :])                # (Ns, T)
 
     L = int(np.prod(batch_shape, dtype=int)) * profile.num_taps
-    phi = jax.random.uniform(key, (ns, L), jnp.float32, 0.0, 2.0 * np.pi)
-    P = cplx.expi(phi)                                        # (Ns, L)
+    phi = jax.random.uniform(key, (L, ns), jnp.float32, 0.0, 2.0 * np.pi)
+    P = cplx.expi(phi)                                        # (L, Ns)
 
-    H = cplx.matmul(E, P, precision=matmul_precision()) * np.sqrt(2.0 / ns)  # (T, L)
-    H = C(H.re.T, H.im.T)                                     # (L, T)
+    H = cplx.matmul(P, E, precision=matmul_precision()) * np.sqrt(2.0 / ns)  # (L, T)
     return H.reshape(batch_shape + (profile.num_taps, T))
 
 

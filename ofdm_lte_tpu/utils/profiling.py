@@ -170,6 +170,309 @@ def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
     return costs
 
 
+def spatial_frame_cost(config: LTEConfig, num_symbols: int = 14,
+                       lanes: int = 1, num_tx: int = 2, num_rx: int = 2,
+                       rank: int = 2,
+                       precision: str = "default",
+                       bits_dtype_bytes: int = 1,
+                       channel_impl: str = "bins") -> Dict[str, KernelCost]:
+    """Complete-program cost model for the TM4 spatial-multiplexing step
+    (sim/spatial._simulate_spatial_jit; reference workload
+    /root/reference/core/ofdm_core.py:2489-2816). Default models the
+    bin-domain flat-channel pipeline (PARITY.md divergence 7); set
+    channel_impl="time" for the time-domain arbiter path (adds the RX
+    DFT matmuls, the time-domain mixing pass and the RX time signals).
+
+    Notation: B = lanes·S batched OFDM symbols, m = data bins per layer,
+    T = B·sps time samples per antenna, Dq = lanes·S·nd data QAM symbols,
+    E = num_rx·num_tx·B·m estimated channel points.
+    """
+    from ..grid import make_grid
+    from ..mimo.layer_mapper import padded_length
+    g = grid_for(config)
+    S = num_symbols
+    B = lanes * S
+    sps = config.samples_per_ofdm_symbol
+    nd = g.num_data
+    m = padded_length(nd, rank) // rank
+    n_pil = g.num_pilot
+    Dq = lanes * S * nd                    # QAM symbols
+    T = B * sps                            # time samples per antenna
+    E = num_rx * num_tx * B * m            # channel-estimate points
+    Nb = num_rx * B * (m + n_pil)          # noisy bin samples (complex)
+    bps = config.bits_per_symbol
+    bB = bits_dtype_bytes
+    mxu = PEAK_MXU_BY_PRECISION.get(precision, PEAK_F32_FLOPS)
+    costs = {
+        # bits -> QAM symbols -> zero-pad -> layers -> W precode (VPU)
+        "qam_map_precode": KernelCost(
+            "qam_map_precode",
+            flops=(10.0 + 8.0 * rank) * Dq,
+            bytes=bB * bps * Dq + 8.0 * Dq + 8.0 * num_tx * lanes * S * m,
+            peak_flops=PEAK_VPU_FLOPS),
+        # fused scatter+IDFT+CP: ONE batched cmatmul over the antenna axis
+        # (gauss 3-multiply form on TPU: 6·m·k·n real flops)
+        "tx_idft": KernelCost(
+            "tx_idft",
+            flops=6.0 * (B * num_tx) * m * sps,
+            bytes=8.0 * B * num_tx * (m + sps),
+            peak_flops=mxu),
+        # PAPR + TX cross-correlation pass: one fused read of the TX
+        # signals, ~8 flops/sample (|x|², max/mean, num_tx² corr FMAs)
+        "papr_corr": KernelCost(
+            "papr_corr", flops=8.0 * num_tx * T,
+            bytes=8.0 * num_tx * T, peak_flops=PEAK_VPU_FLOPS),
+        # bin-domain channel: per-RX mixing FMAs + CN noise (counter RNG
+        # ~24 VPU flops/normal + fused scale-add), one plane write
+        "channel_bins": KernelCost(
+            "channel_bins",
+            flops=(8.0 * num_tx + 2 * 24 + 4) * Nb,
+            bytes=8.0 * Nb + 8.0 * num_rx * B * m,   # write + re-read x
+            peak_flops=PEAK_VPU_FLOPS),
+        # per-symbol per-TX LS + lerp to the data bins: ~14 flops and one
+        # plane write per estimate point (pilot reads are table-sized)
+        "estimate_per_tx": KernelCost(
+            "estimate_per_tx", flops=14.0 * E, bytes=8.0 * E,
+            peak_flops=PEAK_VPU_FLOPS),
+        # fused closed-form 2x2 MMSE on planes: reads 2·y + rank·num_rx·h
+        # planes, ~(30 + 16·num_rx·rank) flops/bin, writes rank planes
+        "detect_mmse2": KernelCost(
+            "detect_mmse2",
+            flops=(30.0 + 16.0 * num_rx * rank) * B * m,
+            bytes=8.0 * B * (m * (num_rx + num_rx * num_tx + rank)),
+            peak_flops=PEAK_VPU_FLOPS),
+        # layer interleave + hard demap + bit compare/count
+        "demap_count": KernelCost(
+            "demap_count", flops=(30.0 + 2.0 * bps) * Dq,
+            bytes=8.0 * 2 * Dq + 2.0 * bB * bps * Dq,
+            peak_flops=PEAK_VPU_FLOPS),
+    }
+    if channel_impl == "time":
+        # the arbiter path materializes RX time signals: per-RX mixing
+        # over T samples, power measure, and num_rx DFT matmuls back to
+        # the data+pilot bins
+        costs["channel_bins"] = KernelCost(
+            "channel_time",
+            flops=(8.0 * num_tx + 3) * num_rx * T + (2 * 24 + 4) * Nb,
+            bytes=8.0 * (num_tx + 2 * num_rx) * T,
+            peak_flops=PEAK_VPU_FLOPS)
+        costs["rx_dft"] = KernelCost(
+            "rx_dft",
+            flops=6.0 * (B * num_rx) * config.N * (m + n_pil),
+            bytes=8.0 * B * num_rx * (config.N + m + n_pil),
+            peak_flops=mxu)
+    return costs
+
+
+def spatial_roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
+                            measured_step_s: float,
+                            num_tx: int = 2, num_rx: int = 2, rank: int = 2,
+                            precision: str = "default",
+                            dispatch_floor_s: float = 0.0,
+                            channel_impl: str = "bins") -> Dict:
+    """Roofline fraction for the spatial step. dispatch_floor_s: the
+    measured serialized-step floor (VALIDATION.md: a trivial scan body
+    costs ~1.3-1.5 ms/step on this backend); the _excl_floor fraction
+    compares modeled time against the step time above that floor, which
+    is the earnable part."""
+    costs = spatial_frame_cost(config, num_symbols, lanes, num_tx, num_rx,
+                               rank, precision, channel_impl=channel_impl)
+    t_roofline = sum(c.roofline_time_s() for c in costs.values())
+    total_flops = sum(c.flops for c in costs.values())
+    over_floor = max(measured_step_s - dispatch_floor_s, 1e-9)
+    return {
+        "precision": precision,
+        "channel_impl": channel_impl,
+        "modeled_gflops": total_flops / 1e9,
+        "modeled_gbytes": sum(c.bytes for c in costs.values()) / 1e9,
+        "roofline_s": t_roofline,
+        "measured_s": measured_step_s,
+        "dispatch_floor_s": dispatch_floor_s,
+        "roofline_fraction": t_roofline / measured_step_s
+        if measured_step_s else 0.0,
+        "roofline_fraction_excl_floor": t_roofline / over_floor,
+        "per_kernel_us": {k: round(c.roofline_time_s() * 1e6, 1)
+                          for k, c in costs.items()},
+    }
+
+
+def _jakes_channel_costs(T_samples: float, links: float, num_taps: int,
+                         precision: str,
+                         x_reads: float = 1.0) -> Dict[str, KernelCost]:
+    """The channel-FIR kernel family (BASELINE.md:38): the Jakes
+    sum-of-sinusoids generator expressed as ONE complex matmul
+    P(L, Ns) @ E(Ns, T) (channel/rayleigh.jakes_taps; reference loop:
+    /root/reference/core/rayleighchannel.py:20-58) plus the per-tap
+    delayed FMA y(t) = Σ_i g_i·h_i(t)·x(t-d_i).
+
+    T_samples: time samples per link; links: total (leg · lane) count;
+    x_reads: how many times the input signal is re-read across legs."""
+    ns = 16
+    L = links * num_taps
+    mxu = PEAK_MXU_BY_PRECISION.get(precision, PEAK_F32_FLOPS)
+    return {
+        # 4-multiply complex matmul (cplx.matmul — not the modem's gauss
+        # path): 8·L·Ns·T flops, dominated by the (L, T) tap-waveform
+        # write (E/P operands are KB-sized)
+        "jakes_matmul": KernelCost(
+            "jakes_matmul", flops=8.0 * L * ns * T_samples,
+            bytes=8.0 * L * T_samples, peak_flops=mxu),
+        # per-tap delayed FMA: reads every tap waveform once, the input
+        # signal x_reads times, writes the faded sum
+        "tap_fma": KernelCost(
+            "tap_fma", flops=8.0 * L * T_samples,
+            bytes=8.0 * (L + links * x_reads + links) * T_samples,
+            peak_flops=PEAK_VPU_FLOPS),
+    }
+
+
+def simo_frame_cost(config: LTEConfig, num_symbols: int = 14,
+                    lanes: int = 1, num_rx: int = 4, num_taps: int = 4,
+                    precision: str = "default",
+                    bits_dtype_bytes: int = 1) -> Dict[str, KernelCost]:
+    """Complete-program cost model for the SIMO 1xN MRC Rayleigh chain
+    (sim/diversity.simulate_simo; reference ofdm_core.py:1536-1679 +
+    rayleighchannel.py:44-58): SISO TX matmul, per-leg Jakes multipath
+    (the channel-FIR family), per-leg time-domain AWGN, per-RX data DFT +
+    slot-start pilot DFT, LS+lerp estimation, MRC combine, demap."""
+    g = grid_for(config)
+    S = num_symbols
+    B = lanes * S
+    sps = config.samples_per_ofdm_symbol
+    nd = g.num_data
+    n_pil = g.num_pilot
+    n_slots = max(1, S // 14)
+    T = B * sps                       # time samples per antenna stream
+    D = B * nd
+    M = num_rx * T                    # noisy time samples
+    bps = config.bits_per_symbol
+    bB = bits_dtype_bytes
+    mxu = PEAK_MXU_BY_PRECISION.get(precision, PEAK_F32_FLOPS)
+    costs = {
+        "qam_map": KernelCost("qam_map", flops=10.0 * D,
+                              bytes=bB * bps * D + 8.0 * D,
+                              peak_flops=PEAK_VPU_FLOPS),
+        "tx_idft": KernelCost("tx_idft", flops=6.0 * B * nd * sps,
+                              bytes=8.0 * B * (nd + sps), peak_flops=mxu),
+        "papr": KernelCost("papr", flops=4.0 * T, bytes=8.0 * T,
+                           peak_flops=PEAK_VPU_FLOPS),
+        **_jakes_channel_costs(S * sps, num_rx * lanes, num_taps,
+                               precision),
+        # per-leg time-domain AWGN (kept deliberately, see
+        # sim/diversity.py: bin noise regressed via rematerialization):
+        # power pass + counter RNG + fused scale-add
+        "awgn_legs": KernelCost(
+            "awgn_legs", flops=(3.0 + 2 * 24 + 4) * M,
+            bytes=16.0 * M, peak_flops=PEAK_VPU_FLOPS),
+        "rx_dft_data": KernelCost(
+            "rx_dft_data", flops=6.0 * num_rx * B * config.N * nd,
+            bytes=8.0 * num_rx * B * (config.N + nd), peak_flops=mxu),
+        "rx_dft_pilot": KernelCost(
+            "rx_dft_pilot",
+            flops=6.0 * num_rx * lanes * n_slots * config.N * n_pil,
+            bytes=8.0 * num_rx * lanes * n_slots * (config.N + n_pil),
+            peak_flops=mxu),
+        # LS + lerp to data bins (slot-periodic: n_slots estimates
+        # broadcast over S) + MRC combine over the antenna axis
+        "estimate_mrc": KernelCost(
+            "estimate_mrc",
+            flops=14.0 * num_rx * lanes * n_slots * nd
+            + 16.0 * num_rx * D + 6.0 * D,
+            bytes=8.0 * num_rx * D * 2 + 8.0 * D,
+            peak_flops=PEAK_VPU_FLOPS),
+        "qam_demap_count": KernelCost(
+            "qam_demap_count", flops=(30.0 + 2.0 * bps) * D,
+            bytes=8.0 * D + 2.0 * bB * bps * D, peak_flops=PEAK_VPU_FLOPS),
+    }
+    return costs
+
+
+def sfbc_frame_cost(config: LTEConfig, num_symbols: int = 14,
+                    lanes: int = 1, num_rx: int = 1, num_taps: int = 4,
+                    precision: str = "default",
+                    bits_dtype_bytes: int = 1) -> Dict[str, KernelCost]:
+    """Complete-program cost model for the 2xN Alamouti SFBC Rayleigh
+    chain (sim/diversity.simulate_sfbc; reference ofdm_core.py:1850-2258):
+    2 TX modulate matmuls, 2·num_rx Jakes multipath legs (channel-FIR
+    family), bin-domain per-RX noise, per-RX data DFT + slot-start pilot
+    DFT, per-TX estimation, Alamouti decode, demap."""
+    from ..sim.diversity import sfbc_data_bins
+    g = grid_for(config)
+    S = num_symbols
+    B = lanes * S
+    sps = config.samples_per_ofdm_symbol
+    ne = len(sfbc_data_bins(config))
+    n_pil = g.num_pilot
+    n_slots = max(1, S // 14)
+    D = B * ne
+    Nb = num_rx * (D + lanes * n_slots * n_pil)   # noisy bin samples
+    bps = config.bits_per_symbol
+    bB = bits_dtype_bytes
+    mxu = PEAK_MXU_BY_PRECISION.get(precision, PEAK_F32_FLOPS)
+    costs = {
+        "qam_map_alamouti": KernelCost(
+            "qam_map_alamouti", flops=16.0 * D,
+            bytes=bB * bps * D + 8.0 * 2 * D, peak_flops=PEAK_VPU_FLOPS),
+        "tx_idft": KernelCost("tx_idft", flops=6.0 * 2 * B * ne * sps,
+                              bytes=8.0 * 2 * B * (ne + sps),
+                              peak_flops=mxu),
+        "papr": KernelCost("papr", flops=4.0 * 2 * B * sps,
+                           bytes=8.0 * 2 * B * sps,
+                           peak_flops=PEAK_VPU_FLOPS),
+        **_jakes_channel_costs(S * sps, 2 * num_rx * lanes, num_taps,
+                               precision),
+        "bin_noise": KernelCost(
+            "bin_noise", flops=(2 * 24 + 4) * Nb + 3.0 * num_rx * B * sps,
+            bytes=8.0 * Nb + 8.0 * num_rx * B * sps,
+            peak_flops=PEAK_VPU_FLOPS),
+        "rx_dft_data": KernelCost(
+            "rx_dft_data", flops=6.0 * num_rx * B * config.N * ne,
+            bytes=8.0 * num_rx * B * (config.N + ne), peak_flops=mxu),
+        "rx_dft_pilot": KernelCost(
+            "rx_dft_pilot",
+            flops=6.0 * num_rx * lanes * n_slots * config.N * n_pil,
+            bytes=8.0 * num_rx * lanes * n_slots * (config.N + n_pil),
+            peak_flops=mxu),
+        # per-TX LS+lerp (slot-periodic) + Alamouti pair decode
+        "estimate_decode": KernelCost(
+            "estimate_decode",
+            flops=14.0 * 2 * num_rx * lanes * n_slots * ne + 24.0 * num_rx * D,
+            bytes=8.0 * 2 * num_rx * D + 8.0 * D,
+            peak_flops=PEAK_VPU_FLOPS),
+        "qam_demap_count": KernelCost(
+            "qam_demap_count", flops=(30.0 + 2.0 * bps) * D,
+            bytes=8.0 * D + 2.0 * bB * bps * D, peak_flops=PEAK_VPU_FLOPS),
+    }
+    return costs
+
+
+def fir_roofline_report(costs: Dict[str, KernelCost],
+                        measured_step_s: float,
+                        precision: str = "default",
+                        dispatch_floor_s: float = 0.0) -> Dict:
+    """Roofline fraction for a cost dict (simo_frame_cost /
+    sfbc_frame_cost). Reports the channel-FIR kernel family's share
+    separately (BASELINE.md:38 names it explicitly)."""
+    t_roofline = sum(c.roofline_time_s() for c in costs.values())
+    fir_s = sum(c.roofline_time_s() for k, c in costs.items()
+                if k in ("jakes_matmul", "tap_fma"))
+    over_floor = max(measured_step_s - dispatch_floor_s, 1e-9)
+    return {
+        "precision": precision,
+        "modeled_gflops": sum(c.flops for c in costs.values()) / 1e9,
+        "modeled_gbytes": sum(c.bytes for c in costs.values()) / 1e9,
+        "roofline_s": t_roofline,
+        "channel_fir_roofline_s": fir_s,
+        "measured_s": measured_step_s,
+        "dispatch_floor_s": dispatch_floor_s,
+        "roofline_fraction": t_roofline / measured_step_s
+        if measured_step_s else 0.0,
+        "roofline_fraction_excl_floor": t_roofline / over_floor,
+        "per_kernel_us": {k: round(c.roofline_time_s() * 1e6, 1)
+                          for k, c in costs.items()},
+    }
+
+
 def roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
                     measured_step_s: float,
                     precision: str = "highest",
