@@ -298,6 +298,33 @@ def bench_spatial(cfg, lanes=SPATIAL_LANES):
     return lanes / dt
 
 
+def bench_spatial_4x4(cfg, lanes=256):
+    """4x4 rank-4 MMSE spatial multiplexing — exercises the GENERIC
+    batched gram+solve detector path (cplx.solve 4x4 Schur closed form),
+    not the fused 2x2 plane kernel; the reference's capstone grid names
+    this shape (/root/reference/test/test_spatial_multiplexing.py:229-237).
+    Flat channel, so the bin-domain identity applies here too."""
+    from ofdm_lte_tpu.sim import spatial
+
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(rng.integers(
+        0, 2, (lanes, spatial.bits_per_frame(cfg, NUM_SYMBOLS))
+    ).astype(np.int8))
+    snr = jnp.full((lanes,), 25.0, jnp.float32)
+
+    def step(key):
+        r = spatial.simulate_spatial_multiplexing(
+            key, bits, snr, cfg, num_tx=4, num_rx=4, rank=4,
+            detector_type="MMSE")
+        return r.bit_errors
+
+    dt = _time_steps(step, _key(0), n_steps=10, n_rolls=2,
+                     slow_step_s=lanes / 5000.0, max_extra_rolls=1)
+    return {"frames_per_s": round(lanes / dt, 2), "lanes": lanes,
+            "note": "generic 4x4 gram+solve detector path (rank 4)",
+            "rolls": _rolls_record()}
+
+
 def bench_scfdm():
     """BASELINE.json config #2: SISO uplink SC-FDM, 16-QAM, 5 MHz, AWGN."""
     from ofdm_lte_tpu import LTEConfig
@@ -638,6 +665,8 @@ def main():
             return {k: (round(v, 4) if isinstance(v, float) else v)
                     for k, v in rl.items()}
         _run_entry("spatial_roofline", spatial_roofline, est_s=5)
+    _run_entry("spatial_4x4_20MHz_64QAM", lambda: bench_spatial_4x4(cfg),
+               est_s=300)
     _run_entry("siso_batch_scaling", lambda: bench_batch_scaling(cfg),
                est_s=400)
     _run_entry("coded_5MHz_QPSK_6000bit_TB", bench_coded, est_s=300)

@@ -24,6 +24,7 @@ from ..config import LTEConfig
 from ..grid import grid_for, pilot_sequence
 from ..ops import qam, ofdm
 from ..channel.mimo import transmit_simo, mimo_mix_noiseless
+from ..channel import rayleigh
 from ..channel.rayleigh import make_profile
 from ..rx import estimation as est
 from ..rx import alamouti
@@ -73,12 +74,31 @@ def simulate_simo(key: jax.Array, bits: jnp.ndarray, snr_db,
     signal_tx = siso_mod.transmit(bits, config)              # (..., T)
     papr = ofdm.papr_db(signal_tx, axis=-1)
 
-    # Time-domain noise DELIBERATELY (unlike sfbc/spatial): moving the
-    # per-leg AWGN to the demodulated bins was measured 25-45% SLOWER here
-    # (31-36k vs 45k frames/s, 2026-08-21) — with the noise barrier gone,
-    # the compiler rematerializes the per-leg Jakes fading chain for the
-    # extra consumers of the noiseless signal.
-    y = transmit_simo(key, signal_tx, snr_db, num_rx, channel_type, profile)
+    # Default: time-domain noise DELIBERATELY (unlike sfbc/spatial):
+    # moving the per-leg AWGN to the demodulated bins was measured 25-45%
+    # SLOWER here (31-36k vs 45k frames/s, 2026-08-21) — with the noise
+    # barrier gone, the compiler rematerializes the per-leg Jakes fading
+    # chain for the extra consumers of the noiseless signal.
+    # OFDM_LTE_TPU_SIMO_NOISE=bins retries the bin-domain variant with an
+    # explicit jax.lax.optimization_barrier pinning the faded legs
+    # (VERDICT r3 task 9; accept/reject on measurement — see
+    # tools/probe_simo_bin_noise.py and VALIDATION.md).
+    import os
+    use_bins = (channel_type == "rayleigh_mp"
+                and os.environ.get("OFDM_LTE_TPU_SIMO_NOISE",
+                                   "time") == "bins")
+    if use_bins:
+        kf, kn = jax.random.split(key)
+        y = jax.vmap(lambda k: rayleigh.apply_multipath(k, signal_tx,
+                                                        profile)
+                     )(jax.random.split(kf, num_rx))         # (rx, ..., T)
+        yb = jax.lax.optimization_barrier((y.re, y.im))
+        y = C(yb[0], yb[1])
+        snr_lin = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
+        npow = jnp.mean(y.abs2(), axis=-1) / snr_lin         # (rx, ...)
+    else:
+        y = transmit_simo(key, signal_tx, snr_db, num_rx, channel_type,
+                          profile)
     # y: (num_rx, ..., T)
     yf = ofdm.frame_stream(y, config)                        # (num_rx, ..., S, sps)
     S = yf.shape[-2]
@@ -88,6 +108,10 @@ def simulate_simo(key: jax.Array, bits: jnp.ndarray, snr_db,
     slot_starts = est.slot_start_indices(S)
     y_slot = yf[..., slot_starts, :]
     y_pil = ofdm.demodulate_bins(y_slot, config, g.pilot_idx)
+    if use_bins:
+        kd, kp = jax.random.split(kn)
+        y_data = _add_cn(kd, y_data, npow)
+        y_pil = _add_cn(kp, y_pil, npow)
     h_pil = est.ls_at_pilots(y_pil)                          # (num_rx, ..., n_slots, np)
     h_data_slots = est.interpolate(h_pil, config, out_bins=g.data_idx)
     h_data = est.slot_periodic(h_data_slots, S)              # (num_rx, ..., S, nd)

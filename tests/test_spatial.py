@@ -158,6 +158,29 @@ def test_bin_channel_matches_time_path():
                                np.asarray(r_time.papr_db), atol=1e-4)
 
 
+def test_grid_validation_artifact():
+    """The committed spatial validation grid at the reference's published
+    capstone shapes (2x2/4x2/4x4/8x4 x MMSE/SIC, 64-QAM @25 dB, 10 MHz
+    rayleigh_mp — /root/reference/test/test_spatial_multiplexing.py:44-49)
+    must exist, cover all 8 cells, and record the reference's frozen draw
+    inside our Monte-Carlo spread in every cell. Regenerate with
+    tools/spatial_grid_validation.py (runs BOTH implementations)."""
+    import json, os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "results",
+        "spatial_grid_validation.json")
+    with open(path) as f:
+        art = json.load(f)
+    assert art["all_pass"] is True
+    cells = {(row["config"], row["detector"]) for row in art["grid"]}
+    assert cells == {(c, d) for c in ("2x2", "4x2", "4x4", "8x4")
+                     for d in ("MMSE", "SIC")}
+    for row in art["grid"]:
+        assert row["pass"] is True, row
+        assert (row["ours_ber_min"] - row["grain"] <= row["ref_ber"]
+                <= row["ours_ber_max"] + row["grain"]), row
+
+
 def test_spatial_sic_beats_zf_at_moderate_snr():
     cfg = LTEConfig(bandwidth=5.0, modulation="16-QAM")
     e = {"ZF": 0, "SIC": 0}
