@@ -70,11 +70,28 @@ def _cmm(a: C, b: C) -> C:
             backend = "gauss"
         else:
             backend = "xla4"
+
+    # flatten leading batch dims into the GEMM M dimension
+    # (OFDM_LTE_TPU_FLATTEN_MM=0 disables): hypothesis that with a >2-D
+    # lhs and a shared 2-D rhs this backend emits a batched dot over
+    # small last-two-dims matrices instead of one flat GEMM. A/B via
+    # tools/probe_flatten_mm.py; slow-phase noise made the first
+    # measurements inconclusive — keep whichever wins the interleaved
+    # probe.
+    lead = a.shape[:-1]
+    flatten = len(lead) > 1 and os.environ.get(
+        "OFDM_LTE_TPU_FLATTEN_MM", "1") != "0"
+    if flatten:
+        a = a.reshape((-1, a.shape[-1]))
     if backend in ("pallas", "pallas_gauss"):
-        return pallas_kernels.cmatmul(a, b, gauss=(backend == "pallas_gauss"))
-    if backend == "gauss":
-        return cplx.matmul_gauss(a, b, precision=matmul_precision())
-    return cplx.matmul(a, b, precision=matmul_precision())
+        out = pallas_kernels.cmatmul(a, b, gauss=(backend == "pallas_gauss"))
+    elif backend == "gauss":
+        out = cplx.matmul_gauss(a, b, precision=matmul_precision())
+    else:
+        out = cplx.matmul(a, b, precision=matmul_precision())
+    if flatten:
+        out = out.reshape(lead + (out.shape[-1],))
+    return out
 
 
 @functools.lru_cache(maxsize=None)

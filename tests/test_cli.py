@@ -100,6 +100,10 @@ def test_cli_papr(capsys, tmp_path):
     assert os.path.getsize(png) > 0
 
 
+# slow lane: the published-table assertion itself runs in
+# test_spatial.TestBeamformingComparisonGrid (also slow); cheap bf coverage
+# stays via test_spatial beamforming units
+@pytest.mark.slow
 def test_cli_bfcompare(capsys, tmp_path):
     """Beamforming-vs-SFBC comparison grid (published-table workflow of the
     Beamforming GUI, results/beamforming/resultados_comparacion.txt)."""
@@ -116,6 +120,9 @@ def test_cli_bfcompare(capsys, tmp_path):
     assert "8x4 Beamforming" in txt and "Array Gain" in txt
 
 
+# slow lane: harq sweep machinery is guarded by
+# test_coded.TestHarqBatched::test_sharded_harq_sweep in the default run
+@pytest.mark.slow
 def test_cli_sweep_harq_and_detector(capsys, tmp_path):
     """The round-3 sweep surfaces: --pipeline harq (BLER/avg-transmissions
     output + checkpoint accumulation) and --detector/--rank on the spatial

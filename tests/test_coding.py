@@ -260,6 +260,9 @@ def test_turbo_decode_matches_reference_at_max_K(rng):
 
 
 @pytest.mark.parametrize("K", [40, 512])
+# slow lane: the block-impl is still parity-guarded by
+# test_turbo_decode_block_impl_matches_reference_at_max_K in the default run
+@pytest.mark.slow
 def test_turbo_decode_block_impl_parity(K, rng):
     """'block' (the TPU-default blocked-scan BCJR) vs 'scan' (float-faithful
     sequential kernel): LLRs agree to float-reassociation tolerance and hard

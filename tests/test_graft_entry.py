@@ -3,6 +3,7 @@ import importlib.util
 import os
 
 import numpy as np
+import pytest
 import jax
 
 
@@ -25,6 +26,9 @@ def test_entry_compiles_and_runs():
     assert np.all(papr > 3.0)
 
 
+# slow lane: the driver itself executes dryrun_multichip every round
+# (MULTICHIP_r* artifacts)
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     mod = _load()
     mod.dryrun_multichip(8)   # asserts internally

@@ -210,6 +210,9 @@ def test_pmi_statistics_from_simulation(rng):
     assert s["pmi_distribution"].sum() == 8
 
 
+# slow lane: MMSE-U correctness is also covered by the cheap
+# mmse_unbiased unit checks
+@pytest.mark.slow
 def test_unbiased_mmse_beats_biased_on_multiring_qam():
     """MMSE-U (capability extension, PARITY.md): dividing each layer by
     its bias b_i = 1 - sigma^2*[(G+sigma^2 I)^-1]_ii must cut errors vs

@@ -9,6 +9,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 
 def _free_port():
     s = socket.socket()
@@ -44,6 +46,9 @@ def test_two_process_distributed_sweep():
     assert v0.split()[2] == v1.split()[2]
 
 
+# slow lane: the committed scaling artifact + test_two_process_distributed_sweep
+# keep multi-process coverage in the default run
+@pytest.mark.slow
 def test_multiprocess_scaling_efficiency():
     """BASELINE.md:37 "N>=2 hosts" half of the >=85% scaling target: two
     core-pinned jax.distributed processes each sustain >=85% of the

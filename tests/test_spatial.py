@@ -324,6 +324,9 @@ class TestBeamformingComparisonGrid:
     (results/beamforming/resultados_comparacion.txt; full-payload artifact:
     results/beamforming_comparison.txt via `cli bfcompare`)."""
 
+    # slow lane: the same published table is spot-checked cheaply by
+    # test_array_gain_means_match_published / test_sfbc_baseline below
+    @pytest.mark.slow
     def test_published_rows_inside_mc_spread(self):
         """Each published beamforming BER (a single-H-realization sample,
         ofdm_core.py:2347-2349) must fall inside our simulated conditional-

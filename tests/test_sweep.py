@@ -40,6 +40,9 @@ def test_sweep_single_device_matches_mesh_statistics():
     assert 0.001 < b8 < 0.05
 
 
+# slow lane: scaling is also guarded by the committed artifacts and the
+# multihost two-process test
+@pytest.mark.slow
 def test_scaling_efficiency_on_virtual_mesh():
     """BASELINE.md:37 target: >=85% samples/s scaling efficiency. Measured
     on the 1/2/4/8-device virtual CPU mesh (proxy for multi-chip; on-chip
@@ -96,6 +99,9 @@ def test_all_modulations_sweep():
         assert "ber_ci_low" in r
 
 
+# slow lane: the 2-D ('snr','mc') mesh also runs in the driver's
+# dryrun_multichip every round
+@pytest.mark.slow
 def test_sweep_2d_snr_by_mc_mesh():
     """('snr', 'mc') mesh: SNR points shard across devices too (SURVEY
     §2.9's (SNR × frame-batch) pod-slice layout), including a non-divisible
@@ -133,6 +139,9 @@ def test_sweep_2d_snr_by_mc_mesh():
     assert abs(float(r1d.ber[0]) - float(r2d.ber[0])) < 0.03
 
 
+# slow lane: detector/rank plumbing at sweep scale; the per-detector unit
+# coverage lives in test_spatial/test_mimo
+@pytest.mark.slow
 def test_sweep_spatial_detector_selection():
     """Detector selector at sweep scale (VERDICT r2 task 5): the sharded
     spatial pipeline honors detector_type/rank, with identical keys (same
