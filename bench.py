@@ -456,8 +456,11 @@ def bench_coded_batched():
     program — the TPU-native way to run coded Monte-Carlo (vs the
     host-orchestrated single-TB path of bench_coded). The decoder is the
     blocked-scan BCJR (coding/turbo.py impl='block'); it is LATENCY-bound
-    well past 32 lanes, so wide lane counts are nearly free (measured
-    2026-08-20: 850 TB/s at 32 lanes, 1607 TB/s at 128; 256 regresses)."""
+    well past 32 lanes, so wide lane counts are nearly free. The 128-lane
+    operating point is the MEASURED knee (tools/probe_coded_lanes.py,
+    2026-08-21: 933 TB/s at 64 lanes, 1741 at 128, 908 at 256 — the step
+    time jumps 73->284 ms past 128; K=6144 runs 1570 TB/s at 128;
+    results/coded_batch_scaling.json, surfaced into BENCH_DETAILS)."""
     from ofdm_lte_tpu import LTEConfig
     from ofdm_lte_tpu.sim import coded
 

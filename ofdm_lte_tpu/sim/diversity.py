@@ -80,9 +80,13 @@ def simulate_simo(key: jax.Array, bits: jnp.ndarray, snr_db,
     # barrier gone, the compiler rematerializes the per-leg Jakes fading
     # chain for the extra consumers of the noiseless signal.
     # OFDM_LTE_TPU_SIMO_NOISE=bins retries the bin-domain variant with an
-    # explicit jax.lax.optimization_barrier pinning the faded legs
-    # (VERDICT r3 task 9; accept/reject on measurement — see
-    # tools/probe_simo_bin_noise.py and VALIDATION.md).
+    # explicit jax.lax.optimization_barrier pinning the faded legs.
+    # MEASURED AND REJECTED (tools/probe_simo_bin_noise.py, 2026-08-21,
+    # back-to-back same-phase rolls): bins 38.7k vs time 43.9k frames/s
+    # — the barrier prevents the remat but the variant still loses ~12%
+    # (the per-leg noise add fuses into the existing tap-FMA pass for
+    # free; the bin variant pays an extra pilot-plane RNG + pass).
+    # Kept behind the env knob for future backends.
     import os
     use_bins = (channel_type == "rayleigh_mp"
                 and os.environ.get("OFDM_LTE_TPU_SIMO_NOISE",
