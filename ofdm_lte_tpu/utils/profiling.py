@@ -25,7 +25,12 @@ from ..config import LTEConfig
 from ..grid import grid_for
 
 
-# TPU v5e (1 chip) peaks; override for other targets.
+# TPU v5e (1 chip) datasheet-derived peaks; overridden below by the
+# MEASURED ceilings in results/machine_peaks.json when present
+# (tools/measure_peaks.py — achieved GEMM/stream/fused-elementwise rates
+# under the same serialized-step methodology as bench.py, which is what
+# a "fraction of speed-of-light" should be judged against on a backend
+# whose remote compiler does not reach datasheet rates).
 PEAK_F32_FLOPS = 98.3e12 / 2        # MXU f32 ~ half of bf16 throughput
 PEAK_BF16_FLOPS = 197e12
 PEAK_HBM_BYTES_S = 819e9
@@ -42,6 +47,36 @@ PEAK_MXU_BY_PRECISION = {
     "high": PEAK_BF16_FLOPS / 3,
     "default": PEAK_BF16_FLOPS,
 }
+
+PEAKS_SOURCE = "datasheet-estimate"
+
+
+def _load_measured_peaks():
+    """Override the unit peaks with the committed measured ceilings."""
+    global PEAK_F32_FLOPS, PEAK_BF16_FLOPS, PEAK_HBM_BYTES_S
+    global PEAK_VPU_FLOPS, PEAK_MXU_BY_PRECISION, PEAKS_SOURCE
+    import json
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "results", "machine_peaks.json")
+    try:
+        with open(path) as f:
+            p = json.load(f)
+    except (OSError, ValueError):
+        return
+    PEAK_BF16_FLOPS = p["gemm_default_tflops"] * 1e12
+    PEAK_F32_FLOPS = p["gemm_highest_tflops"] * 1e12
+    PEAK_HBM_BYTES_S = p["hbm_stream_gbs"] * 1e9
+    PEAK_VPU_FLOPS = p["vpu_fused_gflops"] * 1e9
+    PEAK_MXU_BY_PRECISION = {
+        "highest": PEAK_F32_FLOPS,
+        "high": PEAK_BF16_FLOPS / 3,
+        "default": PEAK_BF16_FLOPS,
+    }
+    PEAKS_SOURCE = f"measured {p.get('measured', '?')} (machine_peaks.json)"
+
+
+_load_measured_peaks()
 
 
 @contextlib.contextmanager
@@ -282,6 +317,7 @@ def spatial_roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
     over_floor = max(measured_step_s - dispatch_floor_s, 1e-9)
     return {
         "precision": precision,
+        "peaks_source": PEAKS_SOURCE,
         "channel_impl": channel_impl,
         "modeled_gflops": total_flops / 1e9,
         "modeled_gbytes": sum(c.bytes for c in costs.values()) / 1e9,
@@ -459,6 +495,7 @@ def fir_roofline_report(costs: Dict[str, KernelCost],
     over_floor = max(measured_step_s - dispatch_floor_s, 1e-9)
     return {
         "precision": precision,
+        "peaks_source": PEAKS_SOURCE,
         "modeled_gflops": sum(c.flops for c in costs.values()) / 1e9,
         "modeled_gbytes": sum(c.bytes for c in costs.values()) / 1e9,
         "roofline_s": t_roofline,
@@ -485,6 +522,7 @@ def roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
     t_roofline = sum(c.roofline_time_s() for c in costs.values())
     return {
         "precision": precision,
+        "peaks_source": PEAKS_SOURCE,
         "modeled_gflops": total_flops / 1e9,
         "modeled_gbytes": total_bytes / 1e9,
         "roofline_s": t_roofline,
