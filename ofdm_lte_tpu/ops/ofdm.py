@@ -71,16 +71,16 @@ def _cmm(a: C, b: C) -> C:
         else:
             backend = "xla4"
 
-    # flatten leading batch dims into the GEMM M dimension
-    # (OFDM_LTE_TPU_FLATTEN_MM=0 disables): hypothesis that with a >2-D
-    # lhs and a shared 2-D rhs this backend emits a batched dot over
-    # small last-two-dims matrices instead of one flat GEMM. A/B via
-    # tools/probe_flatten_mm.py; slow-phase noise made the first
-    # measurements inconclusive — keep whichever wins the interleaved
-    # probe.
+    # OFDM_LTE_TPU_FLATTEN_MM=1 flattens leading batch dims into the GEMM
+    # M dimension before the matmul. MEASURED AND REJECTED as the default
+    # (tools/probe_flatten_mm.py, 2026-08-21): at the 1024-lane spatial
+    # shape the flattened (28672, 500)@(500, 2192) GEMM runs 23.4 ms/step
+    # vs 15.4 ms for the native (lanes, S, tx, m) batched form — 0/4
+    # pairwise wins; this backend tiles the batched dot BETTER than the
+    # tall flat GEMM. Knob kept for future backends.
     lead = a.shape[:-1]
     flatten = len(lead) > 1 and os.environ.get(
-        "OFDM_LTE_TPU_FLATTEN_MM", "1") != "0"
+        "OFDM_LTE_TPU_FLATTEN_MM", "0") == "1"
     if flatten:
         a = a.reshape((-1, a.shape[-1]))
     if backend in ("pallas", "pallas_gauss"):
