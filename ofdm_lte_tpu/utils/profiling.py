@@ -76,7 +76,62 @@ def _load_measured_peaks():
     PEAKS_SOURCE = f"measured {p.get('measured', '?')} (machine_peaks.json)"
 
 
+_DATASHEET_PEAKS = {
+    "mxu_default": 197e12, "mxu_high": 197e12 / 3,
+    "mxu_highest": 98.3e12 / 2, "vpu": 4e12, "hbm": 819e9,
+}
+
 _load_measured_peaks()
+
+_ACTIVE_PEAKS = {
+    "mxu_default": PEAK_MXU_BY_PRECISION["default"],
+    "mxu_high": PEAK_MXU_BY_PRECISION["high"],
+    "mxu_highest": PEAK_MXU_BY_PRECISION["highest"],
+    "vpu": PEAK_VPU_FLOPS, "hbm": PEAK_HBM_BYTES_S,
+}
+
+
+def _unit_of(peak_flops: float) -> str:
+    """Map a KernelCost's concrete peak value back to its unit name (all
+    call sites pass one of the table values verbatim)."""
+    for unit, v in _ACTIVE_PEAKS.items():
+        if unit != "hbm" and abs(peak_flops - v) < 0.5e9:
+            return unit
+    return "vpu"
+
+
+def _total_roofline_s(costs, peaks=None) -> float:
+    """Sum of per-kernel roofline times; peaks=None uses the active
+    (measured-if-available) tables, else the given unit->rate dict."""
+    if peaks is None:
+        return sum(c.roofline_time_s() for c in costs.values())
+    return sum(max(c.flops / peaks[_unit_of(c.peak_flops)],
+                   c.bytes / peaks["hbm"]) for c in costs.values())
+
+
+def _fraction_fields(costs, measured_step_s: float) -> Dict:
+    """Both roofline fractions: against the MEASURED unit ceilings (what
+    this backend's compiler demonstrably reaches on standalone kernels;
+    can exceed 1 when the program fuses elementwise stages into matmul
+    epilogues so they never pay the standalone-VPU rate) and against the
+    DATASHEET peaks (a hard lower bound on the fraction)."""
+    t_active = _total_roofline_s(costs)
+    out = {
+        "roofline_s": t_active,
+        "roofline_fraction": t_active / measured_step_s
+        if measured_step_s else 0.0,
+    }
+    if PEAKS_SOURCE != "datasheet-estimate":
+        t_ds = _total_roofline_s(costs, _DATASHEET_PEAKS)
+        out["roofline_fraction_datasheet_peaks"] = (
+            t_ds / measured_step_s if measured_step_s else 0.0)
+        if out["roofline_fraction"] > 1.0:
+            out["note_fraction_gt_1"] = (
+                "model charges VPU stages at the standalone-elementwise "
+                "measured ceiling; XLA fuses several into matmul "
+                "epilogues, so the program legitimately beats the "
+                "un-fused speed-of-light")
+    return out
 
 
 @contextlib.contextmanager
@@ -312,21 +367,18 @@ def spatial_roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
     is the earnable part."""
     costs = spatial_frame_cost(config, num_symbols, lanes, num_tx, num_rx,
                                rank, precision, channel_impl=channel_impl)
-    t_roofline = sum(c.roofline_time_s() for c in costs.values())
-    total_flops = sum(c.flops for c in costs.values())
     over_floor = max(measured_step_s - dispatch_floor_s, 1e-9)
+    frac = _fraction_fields(costs, measured_step_s)
     return {
         "precision": precision,
         "peaks_source": PEAKS_SOURCE,
         "channel_impl": channel_impl,
-        "modeled_gflops": total_flops / 1e9,
+        "modeled_gflops": sum(c.flops for c in costs.values()) / 1e9,
         "modeled_gbytes": sum(c.bytes for c in costs.values()) / 1e9,
-        "roofline_s": t_roofline,
         "measured_s": measured_step_s,
         "dispatch_floor_s": dispatch_floor_s,
-        "roofline_fraction": t_roofline / measured_step_s
-        if measured_step_s else 0.0,
-        "roofline_fraction_excl_floor": t_roofline / over_floor,
+        **frac,
+        "roofline_fraction_excl_floor": frac["roofline_s"] / over_floor,
         "per_kernel_us": {k: round(c.roofline_time_s() * 1e6, 1)
                           for k, c in costs.items()},
     }
@@ -489,22 +541,20 @@ def fir_roofline_report(costs: Dict[str, KernelCost],
     """Roofline fraction for a cost dict (simo_frame_cost /
     sfbc_frame_cost). Reports the channel-FIR kernel family's share
     separately (BASELINE.md:38 names it explicitly)."""
-    t_roofline = sum(c.roofline_time_s() for c in costs.values())
     fir_s = sum(c.roofline_time_s() for k, c in costs.items()
                 if k in ("jakes_matmul", "tap_fma"))
     over_floor = max(measured_step_s - dispatch_floor_s, 1e-9)
+    frac = _fraction_fields(costs, measured_step_s)
     return {
         "precision": precision,
         "peaks_source": PEAKS_SOURCE,
         "modeled_gflops": sum(c.flops for c in costs.values()) / 1e9,
         "modeled_gbytes": sum(c.bytes for c in costs.values()) / 1e9,
-        "roofline_s": t_roofline,
         "channel_fir_roofline_s": fir_s,
         "measured_s": measured_step_s,
         "dispatch_floor_s": dispatch_floor_s,
-        "roofline_fraction": t_roofline / measured_step_s
-        if measured_step_s else 0.0,
-        "roofline_fraction_excl_floor": t_roofline / over_floor,
+        **frac,
+        "roofline_fraction_excl_floor": frac["roofline_s"] / over_floor,
         "per_kernel_us": {k: round(c.roofline_time_s() * 1e6, 1)
                           for k, c in costs.items()},
     }
@@ -519,16 +569,14 @@ def roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
                             bits_dtype_bytes, awgn_mode)
     total_flops = sum(c.flops for c in costs.values())
     total_bytes = sum(c.bytes for c in costs.values())
-    t_roofline = sum(c.roofline_time_s() for c in costs.values())
+    frac = _fraction_fields(costs, measured_step_s)
     return {
         "precision": precision,
         "peaks_source": PEAKS_SOURCE,
         "modeled_gflops": total_flops / 1e9,
         "modeled_gbytes": total_bytes / 1e9,
-        "roofline_s": t_roofline,
         "measured_s": measured_step_s,
-        "roofline_fraction": t_roofline / measured_step_s
-        if measured_step_s else 0.0,
+        **frac,
         "achieved_tflops": total_flops / measured_step_s / 1e12
         if measured_step_s else 0.0,
         "per_kernel_us": {k: round(c.roofline_time_s() * 1e6, 1)
