@@ -93,14 +93,16 @@ def make_profile(itu_profile: str, fs: float, velocity_kmh: float = None,
 
 
 def jakes_taps(key: jax.Array, profile: MultipathProfile, num_samples: int,
-               batch_shape: tuple = ()) -> C:
+               batch_shape: tuple = (), sample_stride: int = 1) -> C:
     """Time-varying complex tap gains h_i(t), shape (*batch, num_taps, T).
 
-    One complex matmul: E (T, Ns) @ P (Ns, batch·taps).
+    One complex matmul: E (T, Ns) @ P (Ns, batch·taps). sample_stride
+    evaluates the sinusoids every `stride` samples of the fs clock (the
+    tap-hold path in apply_multipath).
     """
     T = num_samples
     ns = N_SINUSOIDS
-    t = jnp.arange(T, dtype=jnp.float32) / profile.fs
+    t = jnp.arange(T, dtype=jnp.float32) * (sample_stride / profile.fs)
     alpha = 2.0 * np.pi * np.arange(1, ns + 1) / ns
     omega = (2.0 * np.pi * profile.doppler_hz * np.cos(alpha)).astype(np.float32)
     # build the sinusoid matrix TRANSPOSED so the matmul emits (L, T)
@@ -117,15 +119,45 @@ def jakes_taps(key: jax.Array, profile: MultipathProfile, num_samples: int,
     return H.reshape(batch_shape + (profile.num_taps, T))
 
 
-def apply_multipath(key: jax.Array, x: C, profile: MultipathProfile) -> C:
+def _tap_hold(T: int, profile: MultipathProfile) -> int:
+    """Tap-hold granularity: generate Jakes taps every `hold` samples and
+    hold inside the block. OFDM_LTE_TPU_TAP_HOLD = "1" (exact, per-sample
+    — the float-faithful arbiter and the CPU default) | "auto" (TPU
+    default) | an integer. "auto" picks the largest divisor of T with
+    fd·hold/fs <= 2% — the channel then moves >= 50x finer than its own
+    coherence time, FAR finer than the receiver's slot-constant CRS
+    assumption — capped at 4096. Eliminates the (links·taps, T)
+    tap-waveform HBM write + re-read that dominates the channel-FIR cost
+    model (measured A/B: tools/probe_tap_hold.py / VALIDATION.md)."""
+    import os
+    mode = os.environ.get("OFDM_LTE_TPU_TAP_HOLD", "").lower()
+    if not mode:
+        mode = "auto" if jax.default_backend() == "tpu" else "1"
+    if mode != "auto":
+        return max(1, int(mode))
+    fd = max(profile.doppler_hz, 1e-3)
+    max_h = min(int(0.02 * profile.fs / fd), 4096, T)
+    for h in range(max_h, 1, -1):
+        if T % h == 0:
+            return h
+    return 1
+
+
+def apply_multipath(key: jax.Array, x: C, profile: MultipathProfile,
+                    hold: int = None) -> C:
     """Faded signal y(t) = Σ_i g_i h_i(t) x(t-d_i); x: (..., T) -> (..., T).
 
     Fresh fading per call (independent channel realization), as the reference
     draws new Jakes phases for every transmission (rayleighchannel.py:31).
+    hold: tap-hold granularity (None = env/backend default, see _tap_hold).
     """
     T = x.shape[-1]
     batch = x.shape[:-1]
-    taps = jakes_taps(key, profile, T, batch)                 # (..., taps, T)
+    if hold is None:
+        hold = _tap_hold(T, profile)
+    Tg = T // hold if hold > 1 else T
+    taps = jakes_taps(key, profile, Tg, batch,
+                      sample_stride=hold)                     # (..., taps, Tg)
 
     y_re = jnp.zeros_like(x.re)
     y_im = jnp.zeros_like(x.im)
@@ -138,7 +170,15 @@ def apply_multipath(key: jax.Array, x: C, profile: MultipathProfile) -> C:
                 jnp.pad(x.im, [(0, 0)] * len(batch) + [(d, 0)])[..., :T],
             )
         h = taps[..., i, :]
-        prod = h * xd
+        if hold > 1:
+            # broadcast each held tap value over its block: the (..., T)
+            # product computes as (..., Tg, hold) without materializing
+            # an upsampled tap waveform
+            xb = xd.reshape(batch + (Tg, hold))
+            hb = C(h.re[..., None], h.im[..., None])          # (..., Tg, 1)
+            prod = (hb * xb).reshape(batch + (T,))
+        else:
+            prod = h * xd
         y_re = y_re + g * prod.re
         y_im = y_im + g * prod.im
     return C(y_re, y_im)

@@ -386,32 +386,50 @@ def spatial_roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
 
 def _jakes_channel_costs(T_samples: float, links: float, num_taps: int,
                          precision: str,
-                         x_reads: float = 1.0) -> Dict[str, KernelCost]:
+                         x_reads: float = 1.0,
+                         tap_hold: int = None,
+                         profile=None) -> Dict[str, KernelCost]:
     """The channel-FIR kernel family (BASELINE.md:38): the Jakes
     sum-of-sinusoids generator expressed as ONE complex matmul
-    P(L, Ns) @ E(Ns, T) (channel/rayleigh.jakes_taps; reference loop:
+    P(L, Ns) @ E(Ns, Tg) (channel/rayleigh.jakes_taps; reference loop:
     /root/reference/core/rayleighchannel.py:20-58) plus the per-tap
     delayed FMA y(t) = Σ_i g_i·h_i(t)·x(t-d_i).
 
     T_samples: time samples per link; links: total (leg · lane) count;
-    x_reads: how many times the input signal is re-read across legs."""
+    x_reads: how many times the input signal is re-read across legs;
+    tap_hold: tap-hold granularity (None = the active runtime default
+    from channel.rayleigh._tap_hold, so the model matches the measured
+    configuration — Tg = T/hold tap samples instead of T)."""
     ns = 16
     L = links * num_taps
+    if tap_hold is None and profile is not None:
+        from ..channel.rayleigh import _tap_hold
+        tap_hold = _tap_hold(int(T_samples), profile)
+    tap_hold = max(1, tap_hold or 1)
+    Tg = T_samples / tap_hold
     mxu = PEAK_MXU_BY_PRECISION.get(precision, PEAK_F32_FLOPS)
     return {
         # 4-multiply complex matmul (cplx.matmul — not the modem's gauss
-        # path): 8·L·Ns·T flops, dominated by the (L, T) tap-waveform
+        # path): 8·L·Ns·Tg flops, dominated by the (L, Tg) tap-waveform
         # write (E/P operands are KB-sized)
         "jakes_matmul": KernelCost(
-            "jakes_matmul", flops=8.0 * L * ns * T_samples,
-            bytes=8.0 * L * T_samples, peak_flops=mxu),
-        # per-tap delayed FMA: reads every tap waveform once, the input
-        # signal x_reads times, writes the faded sum
+            "jakes_matmul", flops=8.0 * L * ns * Tg,
+            bytes=8.0 * L * Tg, peak_flops=mxu),
+        # per-tap delayed FMA: reads every (held) tap waveform once, the
+        # input signal x_reads times, writes the faded sum
         "tap_fma": KernelCost(
             "tap_fma", flops=8.0 * L * T_samples,
-            bytes=8.0 * (L + links * x_reads + links) * T_samples,
+            bytes=8.0 * (L * Tg / max(T_samples, 1.0) + links * x_reads
+                         + links) * T_samples,
             peak_flops=PEAK_VPU_FLOPS),
     }
+
+
+def _bench_profile(config: LTEConfig):
+    """The bench workloads' channel profile (Ped-A, 3 km/h, 2 GHz) — used
+    to resolve the active tap-hold granularity for the cost model."""
+    from ..channel.rayleigh import make_profile
+    return make_profile("Pedestrian_A", config.fs, 3.0, 2.0)
 
 
 def simo_frame_cost(config: LTEConfig, num_symbols: int = 14,
@@ -445,7 +463,8 @@ def simo_frame_cost(config: LTEConfig, num_symbols: int = 14,
         "papr": KernelCost("papr", flops=4.0 * T, bytes=8.0 * T,
                            peak_flops=PEAK_VPU_FLOPS),
         **_jakes_channel_costs(S * sps, num_rx * lanes, num_taps,
-                               precision),
+                               precision,
+                               profile=_bench_profile(config)),
         # per-leg time-domain AWGN (kept deliberately, see
         # sim/diversity.py: bin noise regressed via rematerialization):
         # power pass + counter RNG + fused scale-add
@@ -508,7 +527,8 @@ def sfbc_frame_cost(config: LTEConfig, num_symbols: int = 14,
                            bytes=8.0 * 2 * B * sps,
                            peak_flops=PEAK_VPU_FLOPS),
         **_jakes_channel_costs(S * sps, 2 * num_rx * lanes, num_taps,
-                               precision),
+                               precision,
+                               profile=_bench_profile(config)),
         "bin_noise": KernelCost(
             "bin_noise", flops=(2 * 24 + 4) * Nb + 3.0 * num_rx * B * sps,
             bytes=8.0 * Nb + 8.0 * num_rx * B * sps,
