@@ -118,6 +118,81 @@ def mmse2_planes(y_planes, heff_planes, sigma2):
     return [s0, s1]
 
 
+def _m2_mul(a, b):
+    """2x2 complex-plane matrix product: a, b are [[C,C],[C,C]] nests of
+    same-shape planes."""
+    return [[a[0][0] * b[0][0] + a[0][1] * b[1][0],
+             a[0][0] * b[0][1] + a[0][1] * b[1][1]],
+            [a[1][0] * b[0][0] + a[1][1] * b[1][0],
+             a[1][0] * b[0][1] + a[1][1] * b[1][1]]]
+
+
+def _m2_vec(a, v):
+    """2x2 plane matrix @ 2-vector of planes."""
+    return [a[0][0] * v[0] + a[0][1] * v[1],
+            a[1][0] * v[0] + a[1][1] * v[1]]
+
+
+def _m2_inv(a):
+    """Closed-form 2x2 plane-matrix inverse (adjugate / det)."""
+    det = a[0][0] * a[1][1] - a[0][1] * a[1][0]
+    inv = C(det.re / det.abs2(), -det.im / det.abs2())
+    return [[a[1][1] * inv, -1.0 * (a[0][1] * inv)],
+            [-1.0 * (a[1][0] * inv), a[0][0] * inv]]
+
+
+def _m2_herm(a):
+    """Conjugate transpose of a 2x2 plane matrix."""
+    return [[a[0][0].conj(), a[1][0].conj()],
+            [a[0][1].conj(), a[1][1].conj()]]
+
+
+def mmse4_planes(y_planes, heff_planes, sigma2):
+    """Closed-form 4-layer MMSE on per-(rx, layer) channel PLANES via the
+    2x2-block Schur complement — the plane counterpart of cplx.solve's
+    n=4 path, with every operand a full (..., S, m) array (subcarrier
+    axis minor) instead of a (..., 4, 4) trailing-tiny layout.
+
+    y_planes: list over rx of C planes; heff_planes: [rx][4] planes.
+    Returns [s0..s3] layer planes. G = HᴴH + σ²I = [[A, B], [Bᴴ, D]],
+    ŝ = G⁻¹Hᴴy with S = D − BᴴA⁻¹B."""
+    L = 4
+    s2 = jnp.asarray(sigma2, jnp.float32)
+    nd = y_planes[0].re.ndim
+    if s2.ndim and s2.ndim < nd:
+        s2 = s2.reshape(s2.shape + (1,) * (nd - s2.ndim))
+
+    def csum(terms):
+        acc = None
+        for t in terms:
+            acc = t if acc is None else acc + t
+        return acc
+
+    def gram(i, j):
+        g = csum(hp[i].conj() * hp[j] for hp in heff_planes)
+        if i == j:
+            g = C(g.re + s2, g.im)
+        return g
+
+    z = [csum(hp[i].conj() * yr for hp, yr in zip(heff_planes, y_planes))
+         for i in range(L)]
+    A = [[gram(0, 0), gram(0, 1)], [gram(1, 0), gram(1, 1)]]
+    B = [[gram(0, 2), gram(0, 3)], [gram(1, 2), gram(1, 3)]]
+    D = [[gram(2, 2), gram(2, 3)], [gram(3, 2), gram(3, 3)]]
+
+    Ainv = _m2_inv(A)
+    Bh = _m2_herm(B)
+    BhAinv = _m2_mul(Bh, Ainv)
+    BhAinvB = _m2_mul(BhAinv, B)
+    S = [[D[i][j] - BhAinvB[i][j] for j in range(2)] for i in range(2)]
+    rhs2 = [z[2] - _m2_vec(BhAinv, z[:2])[0],
+            z[3] - _m2_vec(BhAinv, z[:2])[1]]
+    s_lo = _m2_vec(_m2_inv(S), rhs2)
+    rhs1 = [z[0] - _m2_vec(B, s_lo)[0], z[1] - _m2_vec(B, s_lo)[1]]
+    s_hi = _m2_vec(Ainv, rhs1)
+    return [s_hi[0], s_hi[1], s_lo[0], s_lo[1]]
+
+
 def mmse(y: C, H_eff: C, sigma2) -> C:
     """y (..., rx), H_eff (..., rx, L) -> ŝ (..., L)."""
     s2 = _align_sigma(sigma2, H_eff)

@@ -98,6 +98,28 @@ def test_mmse2_planes_more_rx_than_layers():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_mmse4_planes_matches_stacked_mmse():
+    """Plane block-Schur 4-layer MMSE == the stacked gram+solve path on
+    random shapes, per-lane sigma."""
+    key = jax.random.PRNGKey(5)
+    lanes, S, m, rx, L = 2, 2, 13, 4, 4
+    y = _crandn(jax.random.fold_in(key, 0), (lanes, S, m, rx))
+    h = _crandn(jax.random.fold_in(key, 1), (lanes, S, m, rx, L))
+    s2 = jnp.asarray([0.3, 0.01], jnp.float32)
+    stacked = detector.mmse(y, h, s2)
+    y_planes = [C(y.re[..., r], y.im[..., r]) for r in range(rx)]
+    h_planes = [[C(h.re[..., r, l], h.im[..., r, l]) for l in range(L)]
+                for r in range(rx)]
+    planes = detector.mmse4_planes(y_planes, h_planes, s2)
+    for l in range(L):
+        np.testing.assert_allclose(np.asarray(stacked.re[..., l]),
+                                   np.asarray(planes[l].re),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(stacked.im[..., l]),
+                                   np.asarray(planes[l].im),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_jakes_lt_orientation_statistics():
     """jakes_taps' (L,T)-direct matmul keeps the stationary statistics:
     E|h|^2 = 2 (the preserved reference convention) and tap independence."""
