@@ -348,7 +348,14 @@ def bench_scfdm():
             "rolls": _rolls_record()}
 
 
-def bench_simo():
+DIVERSITY_LANES = 512   # measured knee after the tap-hold optimization
+#                         (2026-08-21): simo 67.6k/73.5k/73.7k f/s at
+#                         256/512/1024 lanes; sfbc 70.8k/95.2k/50.9k —
+#                         512 is the knee for both (sfbc REGRESSES at
+#                         1024, like the coded 128->256 cliff)
+
+
+def bench_simo(lanes=DIVERSITY_LANES):
     """BASELINE.json config #3: SIMO 1x4 MRC, QPSK, Rayleigh Ped-A."""
     from ofdm_lte_tpu import LTEConfig
     from ofdm_lte_tpu.sim import siso, diversity
@@ -356,8 +363,8 @@ def bench_simo():
     cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
     rng = np.random.default_rng(0)
     bits = jnp.asarray(rng.integers(
-        0, 2, (LANES, siso.bits_per_frame(cfg, NUM_SYMBOLS))).astype(np.int8))
-    snr = jnp.full((LANES,), 10.0, jnp.float32)
+        0, 2, (lanes, siso.bits_per_frame(cfg, NUM_SYMBOLS))).astype(np.int8))
+    snr = jnp.full((lanes,), 10.0, jnp.float32)
 
     def step(key):
         r = diversity.simulate_simo(key, bits, snr, cfg, num_rx=4,
@@ -366,27 +373,30 @@ def bench_simo():
                                     velocity_kmh=3.0)
         return r.bit_errors
 
-    fps = LANES / _time_steps(step, _key(0), n_steps=10,
-                              slow_step_s=LANES / 500.0, n_rolls=2)
+    # known-good tap-hold binaries run >=67k frames/s; below 40k every
+    # roll drew a bad binary or a slow phase - keep rolling
+    fps = lanes / _time_steps(step, _key(0), n_steps=10,
+                              slow_step_s=lanes / 40000.0, n_rolls=2)
     # channel-FIR roofline (VERDICT r3 task 2): the Jakes E@P matmul +
     # per-tap delayed FMA modeled against the measured step
     from ofdm_lte_tpu.precision import matmul_precision_name
     from ofdm_lte_tpu.utils.profiling import (simo_frame_cost,
                                               fir_roofline_report)
     rl = fir_roofline_report(
-        simo_frame_cost(cfg, NUM_SYMBOLS, LANES, num_rx=4,
+        simo_frame_cost(cfg, NUM_SYMBOLS, lanes, num_rx=4,
                         precision=matmul_precision_name()),
-        measured_step_s=LANES / fps,
+        measured_step_s=lanes / fps,
         precision=matmul_precision_name(),
         dispatch_floor_s=DISPATCH_FLOOR_S)
     return {"frames_per_s": round(fps, 2),
             "vs_reference_cpu": round(fps / REF_SIMO_FPS, 2),
             "roofline": {k: (round(v, 4) if isinstance(v, float) else v)
                          for k, v in rl.items()},
+            "lanes": lanes,
             "rolls": _rolls_record()}
 
 
-def bench_sfbc():
+def bench_sfbc(lanes=DIVERSITY_LANES):
     """BASELINE.json config #4: 2x1 Alamouti SFBC, 16-QAM, 10 MHz Rayleigh."""
     from ofdm_lte_tpu import LTEConfig
     from ofdm_lte_tpu.sim import diversity
@@ -394,9 +404,9 @@ def bench_sfbc():
     cfg = LTEConfig(bandwidth=10.0, modulation="16-QAM")
     rng = np.random.default_rng(0)
     bits = jnp.asarray(rng.integers(
-        0, 2, (LANES, diversity.sfbc_bits_per_frame(cfg, NUM_SYMBOLS))
+        0, 2, (lanes, diversity.sfbc_bits_per_frame(cfg, NUM_SYMBOLS))
     ).astype(np.int8))
-    snr = jnp.full((LANES,), 15.0, jnp.float32)
+    snr = jnp.full((lanes,), 15.0, jnp.float32)
 
     def step(key):
         r = diversity.simulate_sfbc(key, bits, snr, cfg, num_rx=1,
@@ -405,21 +415,23 @@ def bench_sfbc():
                                     velocity_kmh=3.0)
         return r.bit_errors
 
-    fps = LANES / _time_steps(step, _key(0), n_steps=10,
-                              slow_step_s=LANES / 500.0, n_rolls=2)
+    # known-good tap-hold binaries run >=70k frames/s at 512 lanes
+    fps = lanes / _time_steps(step, _key(0), n_steps=10,
+                              slow_step_s=lanes / 45000.0, n_rolls=2)
     from ofdm_lte_tpu.precision import matmul_precision_name
     from ofdm_lte_tpu.utils.profiling import (sfbc_frame_cost,
                                               fir_roofline_report)
     rl = fir_roofline_report(
-        sfbc_frame_cost(cfg, NUM_SYMBOLS, LANES, num_rx=1,
+        sfbc_frame_cost(cfg, NUM_SYMBOLS, lanes, num_rx=1,
                         precision=matmul_precision_name()),
-        measured_step_s=LANES / fps,
+        measured_step_s=lanes / fps,
         precision=matmul_precision_name(),
         dispatch_floor_s=DISPATCH_FLOOR_S)
     return {"frames_per_s": round(fps, 2),
             "note": "reference path crashes as-shipped; no denominator",
             "roofline": {k: (round(v, 4) if isinstance(v, float) else v)
                          for k, v in rl.items()},
+            "lanes": lanes,
             "rolls": _rolls_record()}
 
 
@@ -701,7 +713,10 @@ def main():
     for name, fname in (("spatial_lane_scaling",
                          "spatial_lane_scaling.json"),
                         ("coded_batch_scaling",
-                         "coded_batch_scaling.json")):
+                         "coded_batch_scaling.json"),
+                        ("diversity_lane_scaling",
+                         "diversity_lane_scaling.json"),
+                        ("machine_peaks", "machine_peaks.json")):
         p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "results", fname)
         if os.path.exists(p):

@@ -291,6 +291,7 @@ class OFDMSimulator:
             "errors": errors, "ber": errors / n, "snr_db": float(snr_db),
             "num_tx": num_tx, "num_rx": num_rx,
             "detector_type": detector_type,
+            "papr_db": float(np.mean(np.asarray(r.papr_db))),
             "mode": "Spatial Multiplexing TM4",
         }
         self.last_results = res
