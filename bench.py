@@ -298,12 +298,14 @@ def bench_spatial(cfg, lanes=SPATIAL_LANES):
     return lanes / dt
 
 
-def bench_spatial_4x4(cfg, lanes=256):
-    """4x4 rank-4 MMSE spatial multiplexing — exercises the GENERIC
-    batched gram+solve detector path (cplx.solve 4x4 Schur closed form),
-    not the fused 2x2 plane kernel; the reference's capstone grid names
-    this shape (/root/reference/test/test_spatial_multiplexing.py:229-237).
-    Flat channel, so the bin-domain identity applies here too."""
+def bench_spatial_4x4(cfg, lanes=512):
+    """4x4 rank-4 MMSE spatial multiplexing — the block-Schur PLANE solve
+    (mimo.detector.mmse4_planes, 5.3x the stacked gram+solve it replaced);
+    the reference's capstone grid names this shape
+    (/root/reference/test/test_spatial_multiplexing.py:229-237).
+    Flat channel, so the bin-domain identity applies here too. Lanes:
+    measured 31.8k/38.0k/37.6k frames/s at 256/512/1024 (2026-08-21) —
+    512 is the knee."""
     from ofdm_lte_tpu.sim import spatial
 
     rng = np.random.default_rng(0)
@@ -319,9 +321,9 @@ def bench_spatial_4x4(cfg, lanes=256):
         return r.bit_errors
 
     dt = _time_steps(step, _key(0), n_steps=10, n_rolls=2,
-                     slow_step_s=lanes / 5000.0, max_extra_rolls=1)
+                     slow_step_s=lanes / 20000.0, max_extra_rolls=1)
     return {"frames_per_s": round(lanes / dt, 2), "lanes": lanes,
-            "note": "generic 4x4 gram+solve detector path (rank 4)",
+            "note": "rank-4 block-Schur plane MMSE (mmse4_planes)",
             "rolls": _rolls_record()}
 
 
