@@ -155,6 +155,13 @@ def apply_multipath(key: jax.Array, x: C, profile: MultipathProfile,
     batch = x.shape[:-1]
     if hold is None:
         hold = _tap_hold(T, profile)
+    if hold > 1 and T % hold:
+        # A manual hold (env var or argument) that does not divide T would
+        # crash below at the (Tg, hold) reshape with an opaque shape error
+        # (ADVICE r4); round DOWN to the largest divisor of T instead —
+        # "auto" always returns a divisor, so this only triggers for
+        # manual values.
+        hold = next(h for h in range(min(hold, T), 0, -1) if T % h == 0)
     Tg = T // hold if hold > 1 else T
     taps = jakes_taps(key, profile, Tg, batch,
                       sample_stride=hold)                     # (..., taps, Tg)

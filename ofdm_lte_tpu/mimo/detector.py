@@ -193,6 +193,178 @@ def mmse4_planes(y_planes, heff_planes, sigma2):
     return [s_hi[0], s_hi[1], s_lo[0], s_lo[1]]
 
 
+def _plane_zeros_like(p: C) -> C:
+    z = jnp.zeros_like(p.re)
+    return C(z, z)
+
+
+def _csum(terms):
+    acc = None
+    for t in terms:
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _align_sigma_planes(sigma2, ref_plane: C):
+    """Right-pad a scalar/per-lane σ² with singleton axes so it broadcasts
+    against a (..., S, m) plane."""
+    s2 = jnp.asarray(sigma2, jnp.float32)
+    nd = ref_plane.re.ndim
+    if s2.ndim and s2.ndim < nd:
+        s2 = s2.reshape(s2.shape + (1,) * (nd - s2.ndim))
+    return s2
+
+
+def _solve2_planes(G, z):
+    """Closed-form 2x2 plane-system solve: G [2][2] nest of C planes
+    (general, not necessarily Hermitian), z [2] planes."""
+    det = G[0][0] * G[1][1] - G[0][1] * G[1][0]
+    inv = C(det.re / det.abs2(), -det.im / det.abs2())
+    return [(G[1][1] * z[0] - G[0][1] * z[1]) * inv,
+            (G[0][0] * z[1] - G[1][0] * z[0]) * inv]
+
+
+def _solve4_planes(G, z):
+    """4x4 plane-system solve via the 2x2-block Schur complement — the
+    plane counterpart of cplx.solve's n=4 path (every operand a full
+    (..., S, m) array, subcarrier axis minor)."""
+    A = [[G[0][0], G[0][1]], [G[1][0], G[1][1]]]
+    B = [[G[0][2], G[0][3]], [G[1][2], G[1][3]]]
+    Cm = [[G[2][0], G[2][1]], [G[3][0], G[3][1]]]
+    D = [[G[2][2], G[2][3]], [G[3][2], G[3][3]]]
+    Ainv = _m2_inv(A)
+    Ainv_b1 = _m2_vec(Ainv, z[:2])
+    AinvB = _m2_mul(Ainv, B)
+    S = [[D[i][j] - (Cm[i][0] * AinvB[0][j] + Cm[i][1] * AinvB[1][j])
+          for j in range(2)] for i in range(2)]
+    rhs2 = [z[2] - _m2_vec(Cm, Ainv_b1)[0],
+            z[3] - _m2_vec(Cm, Ainv_b1)[1]]
+    x2 = _solve2_planes(S, rhs2)
+    x1 = [Ainv_b1[0] - (AinvB[0][0] * x2[0] + AinvB[0][1] * x2[1]),
+          Ainv_b1[1] - (AinvB[1][0] * x2[0] + AinvB[1][1] * x2[1])]
+    return [x1[0], x1[1], x2[0], x2[1]]
+
+
+def _solve_planes(G, z):
+    """Dispatch a plane-system solve for L in {1, 2, 3, 4}. L=3 pads to
+    the 4x4 Schur path with a decoupled unit 4th equation (the plane
+    counterpart of cplx.solve's n=3 padding)."""
+    L = len(z)
+    if L == 1:
+        d = G[0][0]
+        inv = C(d.re / d.abs2(), -d.im / d.abs2())
+        return [z[0] * inv]
+    if L == 2:
+        return _solve2_planes(G, z)
+    if L == 3:
+        zero = _plane_zeros_like(z[0])
+        one = C(jnp.ones_like(zero.re), zero.im)
+        G4 = [[G[i][j] if (i < 3 and j < 3) else
+               (one if i == j else zero) for j in range(4)]
+              for i in range(4)]
+        return _solve4_planes(G4, z + [zero])[:3]
+    if L == 4:
+        return _solve4_planes(G, z)
+    raise ValueError(f"plane solve supports L<=4, got {L}")
+
+
+def mmse_planes(y_planes, heff_planes, sigma2):
+    """General plane MMSE for L in {1, 2, 3, 4} layers: dispatches to the
+    fused 2-layer (mmse2_planes) / block-Schur 4-layer (mmse4_planes)
+    kernels and closes the rank-1/rank-3 gaps with the same plane layout
+    (VERDICT r4 task 4: rank 3 previously fell through to the stacked
+    trailing-(rx, L) detector shown 5.3x slower at rank 4)."""
+    L = len(heff_planes[0])
+    if L == 2:
+        return mmse2_planes(y_planes, heff_planes, sigma2)
+    if L == 4:
+        return mmse4_planes(y_planes, heff_planes, sigma2)
+    s2 = _align_sigma_planes(sigma2, y_planes[0])
+
+    def gram(i, j):
+        g = _csum(hp[i].conj() * hp[j] for hp in heff_planes)
+        if i == j:
+            g = C(g.re + s2, g.im)
+        return g
+
+    G = [[gram(i, j) for j in range(L)] for i in range(L)]
+    z = [_csum(hp[i].conj() * yr for hp, yr in zip(heff_planes, y_planes))
+         for i in range(L)]
+    return _solve_planes(G, z)
+
+
+def sic_planes(y_planes, heff_planes, sigma2, modulation: str):
+    """SIC on per-(rx, layer) channel PLANES — semantics identical to
+    `sic` (mimo_detector.py:200-306: SINR order from the ORIGINAL columns,
+    per-stage MMSE over the remaining set, hard decision, cancellation
+    against the original H) but with every operand a full (..., S, m)
+    plane. The per-stage masked MMSE reuses the 2x2-block Schur plane
+    solver with the inactive columns' Gram rows/cols zeroed and their
+    diagonal padded to σ²+1, exactly as the stacked path masks Hm.
+
+    Two plane-specific algebraic shortcuts (identical math, fewer passes):
+    - the masked Gram is the ORIGINAL Gram scaled by a_i·a_j — the base
+      Gram planes are computed once and re-masked per stage;
+    - the residual's matched filter updates in the Gram domain:
+      z_i ← z_i − ŝ_hard·g_base[i][sel] (= Hᴴ(y − h_sel·ŝ_hard)), so the
+      rx planes are never re-read after the initial z.
+    """
+    L = len(heff_planes[0])
+    s2 = _align_sigma_planes(sigma2, y_planes[0])
+
+    # base Gram (no σ², no masks) + matched filter, both stage-invariant
+    g_base = [[None] * L for _ in range(L)]
+    for i in range(L):
+        for j in range(i, L):
+            g = _csum(hp[i].conj() * hp[j] for hp in heff_planes)
+            g_base[i][j] = g
+            if j != i:
+                g_base[j][i] = g.conj()
+    z = [_csum(hp[i].conj() * yr for hp, yr in zip(heff_planes, y_planes))
+         for i in range(L)]
+
+    colp = [g_base[l][l].re for l in range(L)]
+    total = _csum(colp)
+    sinr = [colp[l] / (total - colp[l] + s2 + 1e-10) for l in range(L)]
+
+    active = [jnp.ones_like(colp[0]) for _ in range(L)]
+    s_hat = [_plane_zeros_like(y_planes[0]) for _ in range(L)]
+
+    for _ in range(L):
+        # stage layer = argmax of the ORIGINAL SINR among active columns
+        # (iterated masked argmax == stable argsort(-sinr) order)
+        masked = jnp.stack(
+            [jnp.where(active[l] > 0, sinr[l], -jnp.inf) for l in range(L)],
+            axis=-1)
+        sel_idx = jnp.argmax(masked, axis=-1)
+        sel = [(sel_idx == l).astype(jnp.float32) for l in range(L)]
+
+        G = [[C(g_base[i][j].re * (active[i] * active[j]),
+                g_base[i][j].im * (active[i] * active[j]))
+              for j in range(L)] for i in range(L)]
+        for i in range(L):
+            G[i][i] = C(G[i][i].re + s2 + (1.0 - active[i]), G[i][i].im)
+        zm = [C(z[i].re * active[i], z[i].im * active[i]) for i in range(L)]
+        s_all = _solve_planes(G, zm)
+
+        s_sel = _csum(C(s_all[l].re * sel[l], s_all[l].im * sel[l])
+                      for l in range(L))
+        s_hard = qam.detect(s_sel, modulation)
+
+        for l in range(L):
+            pick = sel[l] > 0
+            s_hat[l] = C(jnp.where(pick, s_hard.re, s_hat[l].re),
+                         jnp.where(pick, s_hard.im, s_hat[l].im))
+        # cancel in the Gram domain against the ORIGINAL columns
+        for i in range(L):
+            gsel = _csum(C(g_base[i][l2].re * sel[l2],
+                           g_base[i][l2].im * sel[l2]) for l2 in range(L))
+            z[i] = z[i] - gsel * s_hard
+        active = [active[l] * (1.0 - sel[l]) for l in range(L)]
+
+    return s_hat
+
+
 def mmse(y: C, H_eff: C, sigma2) -> C:
     """y (..., rx), H_eff (..., rx, L) -> ŝ (..., L)."""
     s2 = _align_sigma(sigma2, H_eff)

@@ -244,7 +244,7 @@ def _simulate_spatial_jit(key, bits, snr_db, W_re, W_im, config: LTEConfig,
                 for r in range(num_rx)]
 
     dt = detector_type.upper()
-    if dt in ("MMSE", "IRC", "ZF") and rank_used in (2, 4):
+    if dt in ("MMSE", "IRC", "ZF", "SIC") and rank_used in (1, 2, 3, 4):
         # effective channel per plane: heff[r][l] = Σ_t h[r][t]·W[t,l]
         heff = []
         for r in range(num_rx):
@@ -256,20 +256,21 @@ def _simulate_spatial_jit(key, bits, snr_db, W_re, W_im, config: LTEConfig,
                     acc = term if acc is None else acc + term
                 row.append(acc)
             heff.append(row)
-        # ZF is the same regularized gram solve with σ² -> ε
-        # (mimo.detector.zf's regularization=1e-9)
-        s2 = jnp.float32(1e-9) if dt == "ZF" else noise_var
-        if rank_used == 2:
-            s_planes = detector.mmse2_planes(y_planes, heff, s2)
+        if dt == "SIC":
+            s_planes = detector.sic_planes(y_planes, heff, noise_var,
+                                           config.modulation)
         else:
-            s_planes = detector.mmse4_planes(y_planes, heff, s2)
+            # ZF is the same regularized gram solve with σ² -> ε
+            # (mimo.detector.zf's regularization=1e-9)
+            s2 = jnp.float32(1e-9) if dt == "ZF" else noise_var
+            s_planes = detector.mmse_planes(y_planes, heff, s2)
         # interleave layers back to symbol order: stack on a NEW minor
         # axis gives (..., S, m, L) = demap_from_layers' transposed form
         syms_rx = C(jnp.stack([p.re for p in s_planes], axis=-1),
                     jnp.stack([p.im for p in s_planes], axis=-1))
         syms_rx = syms_rx.reshape(lead + (S, m * rank_used))[..., :nd]
     else:
-        # generic detectors (ZF/SIC/MRC/MMSE-U, ranks != 2): stacked
+        # generic detectors (MRC/MMSE-U): stacked
         # (..., S, m, rx[, tx]) layout + batched solves
         y_det = C(jnp.stack([p.re for p in y_planes], axis=-1),
                   jnp.stack([p.im for p in y_planes], axis=-1))
