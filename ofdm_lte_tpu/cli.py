@@ -646,7 +646,7 @@ def build_parser():
                     help="JSON file to accumulate/resume sweep state")
     sp.add_argument("--pipeline", default="siso",
                     choices=["siso", "simo", "sfbc", "spatial", "coded",
-                             "harq"])
+                             "harq", "beamforming"])
     sp.add_argument("--tb-bits", type=int, default=6000, dest="tb_bits",
                     help="transport-block bits per frame "
                          "(coded/harq pipelines)")

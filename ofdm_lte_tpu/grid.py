@@ -141,10 +141,30 @@ def interp_table_custom(pilot_idx_tuple: tuple, N: int) -> tuple:
     return (left_c.astype(np.int32), right_c.astype(np.int32), w.astype(np.float32))
 
 
-def orthogonal_pilot_indices(config: LTEConfig, num_tx: int) -> list:
-    """FDM-orthogonal CRS allocation for MIMO: every `step`-th pilot bin with
-    per-TX offset (step = min(num_tx, 4)), matching
-    /root/reference/core/mimo_channel_estimator_periodic.py:88-106."""
+def pilot_step(num_tx: int, layout: str = "reference") -> int:
+    """CRS FDM step for `num_tx` antennas.
+
+    layout="reference": step = min(num_tx, 4)
+    (/root/reference/core/mimo_channel_estimator_periodic.py:75-106) — for
+    8 TX this makes TX t and TX t+4 SHARE pilot bins, so their estimates
+    collide and 8-TX spatial multiplexing is degenerate (measured BER
+    0.38-0.49 in results/spatial_grid_validation.json, both
+    implementations). layout="extended": step = num_tx — every TX gets its
+    own disjoint comb (documented divergence, PARITY.md; default stays
+    reference-parity)."""
+    if layout == "reference":
+        return num_tx if num_tx <= 4 else 4
+    if layout == "extended":
+        return num_tx
+    raise ValueError(f"unknown pilot layout {layout!r}")
+
+
+def orthogonal_pilot_indices(config: LTEConfig, num_tx: int,
+                             layout: str = "reference") -> list:
+    """FDM-orthogonal CRS allocation for MIMO: every `step`-th pilot bin
+    with per-TX offset (see pilot_step for the layout semantics), matching
+    /root/reference/core/mimo_channel_estimator_periodic.py:88-106 in the
+    default layout."""
     g = grid_for(config)
-    step = num_tx if num_tx <= 4 else 4
+    step = pilot_step(num_tx, layout)
     return [g.pilot_idx[tx % step::step] for tx in range(num_tx)]

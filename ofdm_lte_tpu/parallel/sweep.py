@@ -49,6 +49,9 @@ def _bits_per_frame(config, num_ofdm_symbols, mode, pipeline,
         return spatial.bits_per_frame(config, num_ofdm_symbols)
     if pipeline == "coded":
         return coded_tb_bits   # one transport block per Monte-Carlo frame
+    if pipeline == "beamforming":
+        from ..sim import beamforming
+        return beamforming.bits_per_frame(config, num_ofdm_symbols)
     raise ValueError(f"unknown pipeline {pipeline}")
 
 
@@ -91,6 +94,14 @@ def _run_pipeline(k, b, snr, config, mode, channel_type, itu_profile,
             k, b, snr, config, channel_type=channel_type,
             itu_profile=itu_profile, velocity_kmh=velocity_kmh)
         return r.bit_errors, r.papr_db
+    if pipeline == "beamforming":
+        from ..sim import beamforming
+        # TM6 rank-1 codebook beamforming on the flat MIMO channel — the
+        # reference's frequency-domain path (ofdm_core.py:2260-2477: no
+        # IFFT/CP), so PAPR is not defined here; report 0.0
+        r = beamforming.simulate_beamforming(k, b, snr, config,
+                                             num_tx=num_tx, num_rx=num_rx)
+        return r.bit_errors, jnp.zeros_like(jnp.asarray(snr, jnp.float32))
     raise ValueError(f"unknown pipeline {pipeline}")
 
 
@@ -135,10 +146,12 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
     """Run a full BER sweep: (num_devices · frames_per_device) frames per SNR
     point, error counts psum-reduced across the mesh.
 
-    pipeline: "siso" (default), "simo", "sfbc", "spatial" or "coded" — the
-    full TX→channel→RX chain of the corresponding sim module runs inside
-    the sharded program ("coded" runs one `coded_tb_bits` transport block
-    through the full TS 36.212 chain per Monte-Carlo frame). Replaces OFDMSimulator.run_ber_sweep
+    pipeline: "siso" (default), "simo", "sfbc", "spatial", "coded" or
+    "beamforming" — the full TX→channel→RX chain of the corresponding sim
+    module runs inside the sharded program ("coded" runs one
+    `coded_tb_bits` transport block through the full TS 36.212 chain per
+    Monte-Carlo frame; "beamforming" is the reference's frequency-domain
+    TM6 path, ofdm_core.py:2260-2477). Replaces OFDMSimulator.run_ber_sweep
     (ofdm_core.py:1795-1846) and the legacy OFDMSystem sweeps
     (ofdm_system.py:432-602).
 

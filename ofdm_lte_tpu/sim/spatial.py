@@ -66,14 +66,19 @@ def decide_rank_pmi(num_tx: int, num_rx: int, snr_db: float,
 
 
 @functools.lru_cache(maxsize=None)
-def _pilot_bin_union_values(N: int, Nc: int, num_tx: int):
+def _pilot_bin_union_values(N: int, Nc: int, num_tx: int,
+                            layout: str = "reference"):
     """Per-TX transmitted values over the UNION CRS pilot grid: TX t carries
     pilot_sequence(t%4) on every step-th union bin with offset t, zeros on
     the other TXs' bins (ofdm_core.py:2642-2654 realized on the bin grid).
-    Returns a list of num_tx complex (n_pilot_union,) NumPy vectors."""
-    from ..grid import make_grid, pilot_sequence
+    Returns a list of num_tx complex (n_pilot_union,) NumPy vectors.
+
+    NOTE reference layout at 8 TX: TX t and t+4 share bins, so the union
+    value is the SUM of both sequences on those bins (the collision the
+    "extended" layout removes)."""
+    from ..grid import make_grid, pilot_sequence, pilot_step
     g = make_grid(N, Nc)
-    step = num_tx if num_tx <= 4 else 4
+    step = pilot_step(num_tx, layout)
     out = []
     for tx in range(num_tx):
         v = np.zeros(g.num_pilot, np.complex128)
@@ -86,13 +91,14 @@ def _pilot_bin_union_values(N: int, Nc: int, num_tx: int):
 @functools.partial(jax.jit, static_argnames=(
     "config", "num_tx", "num_rx", "rank_used", "detector_type",
     "channel_type", "itu_profile", "velocity_kmh", "frequency_ghz",
-    "channel_impl"))
+    "channel_impl", "pilot_layout"))
 def _simulate_spatial_jit(key, bits, snr_db, W_re, W_im, config: LTEConfig,
                           num_tx: int, num_rx: int, rank_used: int,
                           detector_type: str, channel_type: str,
                           itu_profile: str, velocity_kmh,
                           frequency_ghz,
-                          channel_impl: str = "time") -> SpatialResult:
+                          channel_impl: str = "time",
+                          pilot_layout: str = "reference") -> SpatialResult:
     g = grid_for(config)
     nd = g.num_data
     bps = config.bits_per_symbol
@@ -117,7 +123,7 @@ def _simulate_spatial_jit(key, bits, snr_db, W_re, W_im, config: LTEConfig,
     # (tiny (tx×L) contraction -> VPU broadcast-FMA, not an MXU dot)
     x = cplx.matmul_small(W, layers)
 
-    pil_idx = orthogonal_pilot_indices(config, num_tx)
+    pil_idx = orthogonal_pilot_indices(config, num_tx, pilot_layout)
     kch, kd, kp = jax.random.split(key, 3)
     noise_var = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 10.0)
     snr_lin = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 10.0)
@@ -182,7 +188,8 @@ def _simulate_spatial_jit(key, bits, snr_db, W_re, W_im, config: LTEConfig,
         nre_p = jax.random.normal(kpr, npil, jnp.float32)
         nim_p = jax.random.normal(kpi, npil, jnp.float32)
 
-        pil_vals = _pilot_bin_union_values(config.N, config.Nc, num_tx)
+        pil_vals = _pilot_bin_union_values(config.N, config.Nc, num_tx,
+                                           pilot_layout)
         y_planes, ypil_planes = [], []
         for r in range(num_rx):
             acc = None
@@ -240,7 +247,8 @@ def _simulate_spatial_jit(key, bits, snr_db, W_re, W_im, config: LTEConfig,
     # is (..., S, m) — no stacked (rx, tx)-trailing arrays, so the
     # detector's operands keep the subcarrier axis minor
     h_planes = [estimate_per_tx_planes(ypil_planes[r], config, num_tx,
-                                       out_bins=g.data_idx[:m])
+                                       out_bins=g.data_idx[:m],
+                                       layout=pilot_layout)
                 for r in range(num_rx)]
 
     dt = detector_type.upper()
@@ -303,8 +311,17 @@ def simulate_spatial_multiplexing(key, bits, snr_db, config: LTEConfig = None,
                                   itu_profile: str = "Pedestrian_A",
                                   velocity_kmh: float = 3.0,
                                   frequency_ghz: float = 2.0,
-                                  seed: int = 0) -> SpatialResult:
-    """Public entry matching the reference signature (ofdm_core.py:2489)."""
+                                  seed: int = 0,
+                                  pilot_layout: str = "reference"
+                                  ) -> SpatialResult:
+    """Public entry matching the reference signature (ofdm_core.py:2489).
+
+    pilot_layout="extended" (divergence, PARITY.md): disjoint CRS combs
+    for ALL TX antennas. The reference caps the FDM step at 4
+    (mimo_channel_estimator_periodic.py:75-106), so its 8-TX spatial
+    estimates collide pairwise and the capstone 8x4 shape is degenerate
+    (BER ~0.4 in both implementations); "extended" makes 8 TX usable.
+    Identical to "reference" for num_tx <= 4."""
     if config is None:
         config = LTEConfig(modulation=modulation or "64-QAM")
     if rank == "adaptive":
@@ -331,7 +348,8 @@ def simulate_spatial_multiplexing(key, bits, snr_db, config: LTEConfig = None,
         key, bits, snr_db,
         jnp.asarray(W.real, jnp.float32), jnp.asarray(W.imag, jnp.float32),
         config, num_tx, num_rx, rank_used, detector_type, channel_type,
-        itu_profile, velocity_kmh, frequency_ghz, channel_impl)
+        itu_profile, velocity_kmh, frequency_ghz, channel_impl,
+        pilot_layout)
 
 
 def bits_per_frame(config: LTEConfig, num_ofdm_symbols: int) -> int:

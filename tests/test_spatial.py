@@ -181,6 +181,64 @@ def test_grid_validation_artifact():
                 <= row["ours_ber_max"] + row["grain"]), row
 
 
+def test_extended_layout_identical_below_8tx():
+    """pilot_layout='extended' == 'reference' for num_tx <= 4 (same step,
+    same combs)."""
+    from ofdm_lte_tpu.grid import orthogonal_pilot_indices, pilot_step
+    cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+    for ntx in (1, 2, 4):
+        assert pilot_step(ntx, "extended") == pilot_step(ntx, "reference")
+        ref = orthogonal_pilot_indices(cfg, ntx, "reference")
+        ext = orthogonal_pilot_indices(cfg, ntx, "extended")
+        for a, b in zip(ref, ext):
+            np.testing.assert_array_equal(a, b)
+    # 8 TX: reference combs collide pairwise, extended ones are disjoint
+    ref8 = orthogonal_pilot_indices(cfg, 8, "reference")
+    ext8 = orthogonal_pilot_indices(cfg, 8, "extended")
+    np.testing.assert_array_equal(ref8[0], ref8[4])
+    assert not np.intersect1d(ext8[0], ext8[4]).size
+
+
+def test_8tx_extended_fixes_collision_flat():
+    """8x4 rank-4 MMSE on the flat channel: the extended layout must reach
+    a usable BER where the reference layout is degenerate (~0.4)."""
+    cfg = LTEConfig(bandwidth=5.0, modulation="16-QAM")
+    n = spatial.bits_per_frame(cfg, 4)
+    bits = jnp.asarray(np.random.default_rng(2).integers(
+        0, 2, (4, n)).astype(np.int32))
+    ber = {}
+    for layout in ("reference", "extended"):
+        r = spatial.simulate_spatial_multiplexing(
+            jax.random.PRNGKey(2), bits, 25.0, cfg, num_tx=8, num_rx=4,
+            rank=4, detector_type="MMSE", pilot_layout=layout)
+        ber[layout] = float(jnp.median(r.ber))
+    assert ber["reference"] > 0.2, ber     # the preserved degeneracy
+    assert ber["extended"] < 0.02, ber
+
+
+def test_8tx_extended_artifact():
+    """The committed capstone-shape measurement of the extended layout
+    (tools/probe_8tx_extended.py) must show the divergence working:
+    every extended row far below its reference-layout counterpart."""
+    import json, os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "results",
+        "spatial_8tx_extended.json")
+    with open(path) as f:
+        art = json.load(f)
+    by_key = {(r["layout"], r["detector"], r["rank"]): r
+              for r in art["grid"]}
+    assert len(by_key) == 12
+    for det in ("MMSE", "SIC"):
+        for rank in ("2", "4", "adaptive"):
+            ref = by_key[("reference", det, rank)]["ber_median"]
+            ext = by_key[("extended", det, rank)]["ber_median"]
+            assert ref > 0.3, (det, rank, ref)   # degenerate as shipped
+            assert ext < 0.5 * ref, (det, rank, ref, ext)
+    # headline: rank-2 MMSE reaches a genuinely usable BER
+    assert by_key[("extended", "MMSE", "2")]["ber_median"] < 0.01
+
+
 def test_spatial_sic_beats_zf_at_moderate_snr():
     cfg = LTEConfig(bandwidth=5.0, modulation="16-QAM")
     e = {"ZF": 0, "SIC": 0}

@@ -173,6 +173,19 @@ def test_sweep_spatial_detector_selection():
     assert all(e > 0 for e in errs.values()), errs   # mid-SNR: real errors
 
 
+def test_sweep_beamforming_pipeline():
+    """TM6 beamforming as a sharded sweep pipeline: array gain makes the
+    4x2 curve beat SISO-class BER at mid SNR and go error-free at 60 dB."""
+    cfg = LTEConfig(bandwidth=1.25, modulation="QPSK")
+    r = sweep.ber_sweep(jax.random.PRNGKey(6), cfg, [0.0, 60.0],
+                        frames_per_device=2, num_ofdm_symbols=14,
+                        pipeline="beamforming", num_tx=4, num_rx=2)
+    ber = np.asarray(r.ber)
+    assert ber.shape == (2,)
+    assert ber[1] == 0.0
+    assert 0.0 < ber[0] < 0.05, ber   # 0 dB SISO QPSK is ~0.08; gain helps
+
+
 def test_make_mesh_2d_rejects_indivisible():
     with pytest.raises(ValueError):
         sweep.make_mesh_2d(3)                 # 8 devices, 3 shards
