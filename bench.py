@@ -248,6 +248,49 @@ def _time_steps(fn, key, n_steps=20, slow_step_s=None, max_extra_rolls=2,
     return chosen_dt
 
 
+def _attach_spread(entry):
+    """Summarize the compile-roll dispersion behind an entry (VERDICT r4
+    task 7: record per-entry compile-count/variance so a future 25%
+    regression in a secondary entry is detectable): min/max ms/step over
+    the in-clique rolls (all rolls if no clique formed)."""
+    rolls = entry.get("rolls") or []
+    ms = [r["ms_per_step"] for r in rolls if r.get("in_clique")] or \
+         [r["ms_per_step"] for r in rolls]
+    if ms:
+        entry["spread"] = {
+            "n_rolls": len(rolls), "ms_min": min(ms), "ms_max": max(ms),
+            "rel_spread": round((max(ms) - min(ms)) / max(min(ms), 1e-9),
+                                3)}
+    return entry
+
+
+def _retry_slow(measure, fps_of, floor, attempts=2, wait_s=120,
+                min_budget_s=600):
+    """Generic slow-phase retry (previously headline+spatial only): the
+    backend has multi-minute phases where known-good cached binaries run
+    4-8x slow; if the measurement lands below the entry's known-good
+    floor, wait and re-measure, keeping the best result and ALL rolls as
+    evidence."""
+    out = measure()
+    rolls = list(out.get("rolls", []))
+    a = 0
+    while (fps_of(out) < floor and a < attempts
+           and _remaining_s() > min_budget_s):
+        a += 1
+        print(f"# {fps_of(out):.0f} < slow-phase floor {floor:.0f}: "
+              f"waiting {wait_s} s and re-measuring (attempt {a})",
+              file=sys.stderr)
+        time.sleep(wait_s)
+        out2 = measure()
+        rolls += out2.get("rolls", [])
+        if fps_of(out2) > fps_of(out):
+            out = out2
+    out["rolls"] = rolls
+    if a:
+        out["slow_phase_attempts"] = a
+    return _attach_spread(out)
+
+
 def bench_siso(cfg, snr_db=15.0, lanes=LANES, n_rolls=N_COMPILE_ROLLS):
     from ofdm_lte_tpu.sim import siso
 
@@ -410,8 +453,9 @@ def bench_beamforming(lanes=1024):
 
     dt = _time_steps(step, _key(0), n_steps=10, n_rolls=2,
                      slow_step_s=lanes / 40000.0, max_extra_rolls=1)
-    out = {"static": {"frames_per_s": round(lanes / dt, 2),
-                      "lanes": lanes, "rolls": _rolls_record()}}
+    out = {"static": _attach_spread(
+        {"frames_per_s": round(lanes / dt, 2),
+         "lanes": lanes, "rolls": _rolls_record()})}
 
     from ofdm_lte_tpu.mimo.beamforming import update_period_symbols
     from ofdm_lte_tpu.config import doppler_hz
@@ -427,10 +471,10 @@ def bench_beamforming(lanes=1024):
     try:
         dtj = _time_steps(step_jakes, _key(1), n_steps=10, n_rolls=2,
                           slow_step_s=lanes / 10000.0, max_extra_rolls=1)
-        out["adaptive_jakes_120kmh"] = {
+        out["adaptive_jakes_120kmh"] = _attach_spread({
             "frames_per_s": round(lanes / dtj, 2), "lanes": lanes,
             "note": "Veh-B-speed Doppler: per-symbol precoder cadence",
-            "rolls": _rolls_record()}
+            "rolls": _rolls_record()})
     except Exception as e:   # the extension mode must not sink the entry
         out["adaptive_jakes_120kmh"] = {"error": str(e)[:200]}
     return out
@@ -562,14 +606,21 @@ def bench_coded():
     r = coded.simulate_siso_coded(key, bits, 5.0, cfg)   # compile + warmup
     assert r.crc_pass
     n = 5
-    t0 = time.perf_counter()
+    times = []
     for i in range(n):
+        t0 = time.perf_counter()
         r = coded.simulate_siso_coded(jax.random.fold_in(key, i), bits,
                                       5.0, cfg)
-    dt = (time.perf_counter() - t0) / n
+        times.append(time.perf_counter() - t0)
+    dt = sum(times) / n
     return {"transport_blocks_per_s": round(1.0 / dt, 3),
             "vs_reference_cpu": round(1.0 / dt / REF_CODED_TBPS, 1),
             "crc_pass": bool(r.crc_pass),
+            "spread": {"n_iters": n,
+                       "ms_min": round(min(times) * 1e3, 1),
+                       "ms_max": round(max(times) * 1e3, 1),
+                       "rel_spread": round(
+                           (max(times) - min(times)) / min(times), 3)},
             "note": "serialized wall-clock incl. host CRC/segmentation"}
 
 
@@ -806,21 +857,34 @@ def main():
             return {k: (round(v, 4) if isinstance(v, float) else v)
                     for k, v in rl.items()}
         _run_entry("spatial_roofline", spatial_roofline, est_s=5)
-    _run_entry("spatial_4x4_20MHz_64QAM", lambda: bench_spatial_4x4(cfg),
-               est_s=300)
+    # secondary entries get the headline's slow-phase retry (re-measure
+    # after a wait when below the entry's known-good floor) + a rolls
+    # spread summary (VERDICT r4 task 7)
+    fps = lambda o: o.get("frames_per_s", 0.0)            # noqa: E731
+    _run_entry("spatial_4x4_20MHz_64QAM",
+               lambda: _retry_slow(lambda: bench_spatial_4x4(cfg), fps,
+                                   25000.0), est_s=300)
     _run_entry("spatial_sic_4x4_20MHz_64QAM",
-               lambda: bench_spatial_sic_4x4(cfg), est_s=300)
+               lambda: _retry_slow(lambda: bench_spatial_sic_4x4(cfg), fps,
+                                   8000.0), est_s=300)
     _run_entry("spatial_2x2_rayleigh_mp_20MHz_64QAM",
-               lambda: bench_spatial_mp(cfg), est_s=300)
+               lambda: _retry_slow(lambda: bench_spatial_mp(cfg), fps,
+                                   5000.0), est_s=300)
     _run_entry("beamforming_4x2_10MHz_64QAM", bench_beamforming, est_s=400)
     _run_entry("siso_batch_scaling", lambda: bench_batch_scaling(cfg),
                est_s=400)
     _run_entry("coded_5MHz_QPSK_6000bit_TB", bench_coded, est_s=300)
-    _run_entry("coded_batched_5MHz_QPSK_6000bit_TB", bench_coded_batched,
+    _run_entry("coded_batched_5MHz_QPSK_6000bit_TB",
+               lambda: _retry_slow(
+                   bench_coded_batched,
+                   lambda o: o.get("transport_blocks_per_s", 0.0), 1000.0),
                est_s=700)   # block-BCJR compiles are big: ~120-320 s each
-    _run_entry("scfdm_siso_5MHz_16QAM", bench_scfdm, est_s=300)
-    _run_entry("simo_1x4_rayleigh_5MHz_QPSK", bench_simo, est_s=300)
-    _run_entry("sfbc_2x1_rayleigh_10MHz_16QAM", bench_sfbc, est_s=300)
+    _run_entry("scfdm_siso_5MHz_16QAM",
+               lambda: _retry_slow(bench_scfdm, fps, 120000.0), est_s=300)
+    _run_entry("simo_1x4_rayleigh_5MHz_QPSK",
+               lambda: _retry_slow(bench_simo, fps, 55000.0), est_s=300)
+    _run_entry("sfbc_2x1_rayleigh_10MHz_16QAM",
+               lambda: _retry_slow(bench_sfbc, fps, 70000.0), est_s=300)
     _run_entry("ber_sweep_wall_clock", lambda: bench_sweep_wall_clock(cfg),
                est_s=200)
 

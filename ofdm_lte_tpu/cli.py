@@ -137,7 +137,7 @@ def cmd_sweep(args):
 
     state = {"snr_db": list(map(float, snrs)), "errors": [0] * len(snrs),
              "total": [0] * len(snrs), "papr_db": [0.0] * len(snrs),
-             "rounds": 0, "workload": workload}
+             "rounds": 0, "workload": workload, "round_bers": []}
     if args.checkpoint and os.path.exists(args.checkpoint):
         with open(args.checkpoint) as f:
             prev = json.load(f)
@@ -173,6 +173,8 @@ def cmd_sweep(args):
             state["errors"][i] += int(r.bit_errors[i])
             state["total"][i] += int(r.total_bits[i])
             state["papr_db"][i] = float(r.papr_db[i])
+        state.setdefault("round_bers", []).append(
+            [float(b) for b in np.asarray(r.ber)])
         state["rounds"] += 1
         if args.checkpoint:
             with open(args.checkpoint, "w") as f:
@@ -180,7 +182,9 @@ def cmd_sweep(args):
 
     bers = [e / t if t else 0.0 for e, t in zip(state["errors"],
                                                 state["total"])]
+    ci = _sweep_ci(bers, state["total"], state.get("round_bers", []))
     result = {"snr_db": state["snr_db"], "ber": bers,
+              "ber_ci95": ci["half_widths"], "ci_method": ci["method"],
               "total_bits": state["total"], "papr_db": state["papr_db"]}
     print(json.dumps(result, indent=2))
 
@@ -189,13 +193,38 @@ def cmd_sweep(args):
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
         fig, ax = plt.subplots()
-        ax.semilogy(result["snr_db"], np.maximum(result["ber"], 1e-8), "o-")
+        b = np.maximum(result["ber"], 1e-8)
+        ax.semilogy(result["snr_db"], b, "o-", label="BER")
+        h = np.asarray(ci["half_widths"])
+        lo = np.maximum(np.asarray(result["ber"]) - h, 1e-8)
+        hi = np.maximum(np.asarray(result["ber"]) + h, 1e-8)
+        ax.fill_between(result["snr_db"], lo, hi, alpha=0.25,
+                        label=f"95% CI ({ci['method']})")
         ax.set_xlabel("SNR (dB)")
         ax.set_ylabel("BER")
         ax.grid(True, which="both", alpha=0.4)
+        ax.legend()
         ax.set_title(f"{cfg.modulation} {cfg.bandwidth} MHz {args.channel}")
         fig.savefig(args.plot, dpi=110)
         print(f"# plot saved to {args.plot}", file=sys.stderr)
+
+
+def _sweep_ci(bers, totals, round_bers):
+    """95% CI half-widths per SNR point: the reference's t-distribution
+    interval across Monte-Carlo rounds when >=2 rounds are banked
+    (ofdm_system.py:495-504 via utils.metrics.ber_confidence_interval),
+    else the binomial normal-approximation interval from the aggregated
+    error counts (one round still yields an honest band)."""
+    from .utils.metrics import ber_confidence_interval
+    if round_bers and len(round_bers) >= 2:
+        half = []
+        for i in range(len(bers)):
+            m, lo, hi = ber_confidence_interval([r[i] for r in round_bers])
+            half.append(float(hi - m))
+        return {"half_widths": half, "method": "t-dist over rounds"}
+    half = [1.96 * float(np.sqrt(max(p * (1 - p), 0.0) / t)) if t else 0.0
+            for p, t in zip(bers, totals)]
+    return {"half_widths": half, "method": "binomial"}
 
 
 def _cmd_sweep_harq(args, cfg, snrs):
@@ -536,6 +565,48 @@ def cmd_bfcompare(args):
                      indent=2, default=float))
     print(text, file=sys.stderr)
 
+    if getattr(args, "sweep_plot", None):
+        _bf_sweep_overlay(args, cfg)
+
+
+def _bf_sweep_overlay(args, cfg):
+    """Beamforming-vs-SFBC BER curves over SNR in ONE figure — the
+    Beamforming GUI's comparison sweep
+    (/root/reference/Beamforming/gui/main_window.py:243-246), as sharded
+    Monte-Carlo sweeps of the sfbc and beamforming pipelines."""
+    import jax
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from .parallel import sweep as psweep
+
+    snrs = np.arange(args.snr_min, args.snr_max + 1e-9, args.snr_step)
+    key = jax.random.PRNGKey(args.seed + 99)
+    fig, ax = plt.subplots(figsize=(7, 5))
+
+    r = psweep.ber_sweep(jax.random.fold_in(key, 0), cfg, snrs,
+                         frames_per_device=args.sweep_frames,
+                         num_ofdm_symbols=14, pipeline="sfbc", num_rx=1)
+    ax.semilogy(snrs, np.maximum(np.asarray(r.ber), 1e-8), "s--",
+                label="2x1 SFBC (Alamouti)", color="black")
+
+    for i, num_tx in enumerate((2, 4, 8)):
+        r = psweep.ber_sweep(jax.random.fold_in(key, 1 + i), cfg, snrs,
+                             frames_per_device=args.sweep_frames,
+                             num_ofdm_symbols=14, pipeline="beamforming",
+                             num_tx=num_tx, num_rx=1)
+        ax.semilogy(snrs, np.maximum(np.asarray(r.ber), 1e-8), "o-",
+                    label=f"{num_tx}x1 beamforming (TM6)")
+
+    ax.set_xlabel("SNR (dB)")
+    ax.set_ylabel("BER")
+    ax.grid(True, which="both", alpha=0.4)
+    ax.legend()
+    ax.set_title(f"Beamforming vs SFBC, {cfg.modulation} "
+                 f"{cfg.bandwidth} MHz")
+    fig.savefig(args.sweep_plot, dpi=110)
+    print(f"# sweep overlay saved to {args.sweep_plot}", file=sys.stderr)
+
 
 def cmd_papr(args):
     import jax
@@ -701,6 +772,15 @@ def build_parser():
     sp.add_argument("--lanes", type=int, default=16,
                     help="independent channel realizations per config")
     sp.add_argument("--output", default=None, help="text table path")
+    sp.add_argument("--sweep-plot", default=None, dest="sweep_plot",
+                    help="save the beamforming-vs-SFBC BER-vs-SNR overlay "
+                         "PNG (the Beamforming GUI's comparison sweep)")
+    sp.add_argument("--snr-min", type=float, default=0.0, dest="snr_min")
+    sp.add_argument("--snr-max", type=float, default=20.0, dest="snr_max")
+    sp.add_argument("--snr-step", type=float, default=2.0, dest="snr_step")
+    sp.add_argument("--sweep-frames", type=int, default=4,
+                    dest="sweep_frames",
+                    help="Monte-Carlo frames per device per sweep point")
     sp.set_defaults(fn=cmd_bfcompare, bandwidth=10.0, modulation="64-QAM")
 
     sp = sub.add_parser("papr", help="PAPR CCDF OFDM vs SC-FDM")

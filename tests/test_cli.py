@@ -60,6 +60,22 @@ def test_cli_sweep_checkpoint_resume(capsys, tmp_path):
     assert state2["rounds"] == 2
     assert all(b >= 0 for b in out2["ber"])
     assert os.path.getsize(png) > 0
+    # CI machinery (round 5): 2 banked rounds -> t-dist band in the JSON
+    assert out2["ci_method"] == "t-dist over rounds"
+    assert len(out2["ber_ci95"]) == 2
+    assert out1["ci_method"] == "binomial"   # single round
+
+
+def test_cli_bf_sweep_overlay(capsys, tmp_path):
+    """The Beamforming GUI's beamforming-vs-SFBC sweep overlay
+    (Beamforming/gui/main_window.py:243-246) renders as one PNG."""
+    png = tmp_path / "bf_overlay.png"
+    _run(capsys, ["bfcompare", "--bandwidth", "1.25",
+                  "--modulation", "QPSK", "--num-bits", "4000",
+                  "--lanes", "2", "--snr-min", "10", "--snr-max", "20",
+                  "--snr-step", "10", "--sweep-frames", "1",
+                  "--sweep-plot", str(png)])
+    assert os.path.getsize(png) > 0
 
 
 def test_cli_fullsweep(capsys):
