@@ -1,16 +1,28 @@
-"""Lane-chunked execution: run a batched sim over lane chunks SEQUENTIALLY
-inside one XLA program.
+"""Lane-chunked execution: run a batched sim over lane chunks inside one
+XLA program — either UNROLLED (independent chunk subgraphs the compiler
+schedules freely) or SEQUENTIALLY (lax.map).
 
 Why: several pipelines have measured lane-scaling CLIFFS — per-lane
-throughput collapses past a knee (SFBC 95.2k frames/s at 512 lanes ->
-50.9k at 1024; the coded block-BCJR 1741 TB/s at 128 -> 908 at 256;
-results/diversity_lane_scaling.json, results/coded_batch_scaling.json).
-The big-batch program crosses a compiler scheduling/layout threshold on
-one op, and every op in the program then pays. Running the same total
-lanes as knee-sized chunks chained through a lax.map keeps every chunk's
-program in its fast regime at the cost of one extra sequential dispatch
-per chunk (~the scan overhead, NOT the 1.4 ms host dispatch floor — the
-chunks live inside one program).
+throughput collapses past a knee (SFBC 91.5k frames/s at 512 lanes ->
+49.8k at 1024; the coded block-BCJR 1736 TB/s at 128 -> 906 at 256;
+results/diversity_lane_scaling.json, results/coded_batch_scaling.json,
+results/cliff_probe.json). The big-batch program crosses a compiler
+layout/VMEM threshold on one op, and every op in the program then pays.
+
+Both fixes keep each chunk's ops at the knee-sized shapes. Measured on
+the TPU chip (2026-08-21, results/cliff_probe.json):
+
+- mode="unroll" (default): a trace-time Python loop emits each chunk as
+  an independent subgraph; XLA interleaves them, hiding latency. SFBC
+  2x512 unrolled = 124.8k frames/s at 1024 lanes — 2.5x the flat
+  1024-lane program and 1.36x the per-lane rate of the 512-lane knee
+  (the interleaving beats even the knee's own latency profile).
+- mode="scan": lax.map chains chunks sequentially — one copy of the
+  chunk program, linear cost in chunks, but a hard serialization
+  barrier between chunks. Coded 2x128 scan = 1795 TB/s at 256 lanes
+  (vs 906 flat — exactly 2x the knee step time, zero overhead); SFBC
+  2x512 scan = 60.3k (the barrier costs ~5.8 ms/step vs unrolled).
+  Use for many-chunk cases where unrolling would blow up program size.
 
 `lane_chunked(sim_fn, chunk)` wraps any sim whose first three arguments
 are (key, bits, snr) with leading lane axes on bits/snr; extra
@@ -26,14 +38,22 @@ import jax
 import jax.numpy as jnp
 
 
-def lane_chunked(sim_fn, chunk_size: int):
+def lane_chunked(sim_fn, chunk_size: int, mode: str = "unroll"):
     """Wrap sim_fn(key, bits, snr, *args, **kw) to process leading-axis
-    lanes in `chunk_size` chunks via lax.map (sequential, one program).
+    lanes in `chunk_size` chunks inside one program.
+
+    mode="unroll" (default, measured fastest): independent per-chunk
+    subgraphs. mode="scan": sequential lax.map (smaller program; use
+    when the chunk count is large).
 
     Falls back to a direct call when the lane count is not a positive
     multiple of chunk_size, when it equals chunk_size, or when bits has
     no lane axis (single-frame call).
     """
+    if mode not in ("unroll", "scan"):
+        raise ValueError(f"lane_chunked mode must be 'unroll' or 'scan', "
+                         f"got {mode!r}")
+
     def wrapped(key, bits, snr, *args, **kw):
         if bits.ndim < 2:
             return sim_fn(key, bits, snr, *args, **kw)
@@ -48,6 +68,15 @@ def lane_chunked(sim_fn, chunk_size: int):
         else:
             snr_c = jnp.broadcast_to(snr_arr, (n,) + snr_arr.shape)
         keys = jax.random.split(key, n)
+
+        if mode == "unroll":
+            outs = [sim_fn(keys[i], bits_c[i], snr_c[i], *args, **kw)
+                    for i in range(n)]
+            return jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0)
+                if (hasattr(xs[0], "ndim") and xs[0].ndim >= 1
+                    and xs[0].shape[:1] == (chunk_size,))
+                else xs[0], *outs)
 
         out = jax.lax.map(
             lambda xs: sim_fn(xs[0], xs[1], xs[2], *args, **kw),

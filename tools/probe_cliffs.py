@@ -31,9 +31,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from bench import _time_steps, _key, _rolls_record  # noqa: E402
 
-OUT = {}
 _PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "results", "cliff_probe.json")
+try:            # accumulate across invocations of different probe modes
+    with open(_PATH) as _f:
+        OUT = json.load(_f)
+except (OSError, ValueError):
+    OUT = {}
 
 
 def _rec(name, val):
@@ -97,6 +101,210 @@ def probe_sfbc():
     dt = _time_steps(step_chunked, _key(0), n_steps=8, n_rolls=2,
                      slow_step_s=1024 / 45000.0, max_extra_rolls=1)
     _rec("sfbc_chunked_2x512", {
+        "ms_per_step": round(dt * 1e3, 2),
+        "frames_per_s": round(1024 / dt, 1),
+        "rolls": _rolls_record()})
+
+
+def probe_sfbc_variants():
+    """Follow-ups after the first probe run (2026-08-21) measured
+    chunked-scan 2x512 = 60.3k frames/s — above the 1024-flat 49.8k but
+    well short of 2x the 512 rate (91.5k). Candidates for the residual:
+    (a) lax.scan sequencing overhead/fusion barriers -> try an UNROLLED
+    two-chunk program (plain Python loop inside one jit, XLA free to
+    schedule both halves); (b) the knee itself sits below 512 ->
+    scan-chunk at 256."""
+    from ofdm_lte_tpu import LTEConfig
+    from ofdm_lte_tpu.sim import diversity
+
+    cfg = LTEConfig(bandwidth=10.0, modulation="16-QAM")
+    rng = np.random.default_rng(0)
+    n = diversity.sfbc_bits_per_frame(cfg, 14)
+
+    bits2 = jnp.asarray(rng.integers(0, 2, (2, 512, n)).astype(np.int8))
+    snr2 = jnp.full((512,), 15.0, jnp.float32)
+
+    def step_unrolled(key):
+        keys = jax.random.split(key, 2)
+        tot = jnp.int32(0)
+        for i in range(2):
+            r = diversity.simulate_sfbc(keys[i], bits2[i], snr2, cfg,
+                                        num_rx=1,
+                                        channel_type="rayleigh_mp",
+                                        itu_profile="Pedestrian_A",
+                                        velocity_kmh=3.0)
+            tot = tot + jnp.sum(r.bit_errors)
+        return tot
+
+    dt = _time_steps(step_unrolled, _key(0), n_steps=8, n_rolls=2,
+                     slow_step_s=1024 / 45000.0, max_extra_rolls=1)
+    _rec("sfbc_unrolled_2x512", {
+        "ms_per_step": round(dt * 1e3, 2),
+        "frames_per_s": round(1024 / dt, 1),
+        "rolls": _rolls_record()})
+
+    # scan-chunk at 256: if per-chunk cost is still superlinear at 512,
+    # smaller chunks should win despite more scan iterations
+    bits4 = jnp.asarray(rng.integers(0, 2, (4, 256, n)).astype(np.int8))
+    snr4 = jnp.full((256,), 15.0, jnp.float32)
+
+    def step_chunk256(key):
+        def body(carry, xs):
+            k, b = xs
+            r = diversity.simulate_sfbc(k, b, snr4, cfg, num_rx=1,
+                                        channel_type="rayleigh_mp",
+                                        itu_profile="Pedestrian_A",
+                                        velocity_kmh=3.0)
+            return carry + jnp.sum(r.bit_errors), 0
+
+        keys = jax.random.split(key, 4)
+        tot, _ = jax.lax.scan(body, jnp.int32(0), (keys, bits4))
+        return tot
+
+    dt = _time_steps(step_chunk256, _key(0), n_steps=8, n_rolls=2,
+                     slow_step_s=1024 / 45000.0, max_extra_rolls=1)
+    _rec("sfbc_chunked_4x256", {
+        "ms_per_step": round(dt * 1e3, 2),
+        "frames_per_s": round(1024 / dt, 1),
+        "rolls": _rolls_record()})
+
+
+def probe_unroll2():
+    """Round-2 follow-ups after unrolled 2x512 SFBC measured 124.8k
+    frames/s (1.36x the per-lane KNEE rate): (a) does unrolling help the
+    COD ED chain too (two independent block-BCJRs interleaving their
+    latency-bound stages)? (b) finer unrolls: SFBC 4x256 at 1024 lanes
+    and 2x256 at 512 — if interleaving beats the knee's own latency
+    profile, the 512-lane operating point itself should improve."""
+    from ofdm_lte_tpu import LTEConfig
+    from ofdm_lte_tpu.parallel.chunking import lane_chunked
+    from ofdm_lte_tpu.sim import coded, diversity
+
+    # coded: 256 lanes as 2x128 UNROLLED
+    ccfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+    rng = np.random.default_rng(0)
+    cbits = jnp.asarray(rng.integers(0, 2, (256, 6000)).astype(np.int32))
+    csnr = jnp.full((256,), 5.0, jnp.float32)
+    csim = lane_chunked(coded.simulate_siso_coded_batched, 128,
+                        mode="unroll")
+
+    def cstep(key):
+        r = csim(key, cbits, csnr, ccfg)
+        return jnp.sum(r.bit_errors), jnp.sum(r.crc_pass)
+
+    dt = _time_steps(cstep, _key(0), n_steps=4, n_rolls=2,
+                     slow_step_s=256 / 700.0, max_extra_rolls=1)
+    _rec("coded_unrolled_2x128", {
+        "ms_per_step": round(dt * 1e3, 2),
+        "tb_per_s": round(256 / dt, 1),
+        "rolls": _rolls_record()})
+
+    # sfbc finer unrolls through the shipped utility
+    cfg = LTEConfig(bandwidth=10.0, modulation="16-QAM")
+    n = diversity.sfbc_bits_per_frame(cfg, 14)
+
+    def sfbc_sim(key, bits, snr, cfg):
+        return diversity.simulate_sfbc(key, bits, snr, cfg, num_rx=1,
+                                       channel_type="rayleigh_mp",
+                                       itu_profile="Pedestrian_A",
+                                       velocity_kmh=3.0)
+
+    for total, chunk in ((1024, 256), (512, 256)):
+        bits = jnp.asarray(rng.integers(0, 2, (total, n)).astype(np.int8))
+        snr = jnp.full((total,), 15.0, jnp.float32)
+        sim = lane_chunked(sfbc_sim, chunk, mode="unroll")
+
+        def step(key, bits=bits, snr=snr, sim=sim):
+            return jnp.sum(sim(key, bits, snr, cfg).bit_errors)
+
+        dt = _time_steps(step, _key(0), n_steps=8, n_rolls=2,
+                         slow_step_s=total / 45000.0, max_extra_rolls=1)
+        _rec(f"sfbc_unrolled_{total // chunk}x{chunk}", {
+            "ms_per_step": round(dt * 1e3, 2),
+            "frames_per_s": round(total / dt, 1),
+            "rolls": _rolls_record()})
+
+
+def probe_unroll3():
+    """Round-3 follow-ups: (a) finer SFBC unrolls (8x128 at 1024,
+    4x128 at 512) — 4x256 beat 2x512 at 1024 lanes (141.4k vs 124.8k),
+    so test whether 128-chunks win more; (b) does the unroll trick
+    transfer to SIMO 1x4 (knee 73.5k at 512, flat-ish 73.7k at 1024)
+    and spatial 2x2 (the other volume pipelines)?"""
+    from ofdm_lte_tpu import LTEConfig
+    from ofdm_lte_tpu.parallel.chunking import lane_chunked
+    from ofdm_lte_tpu.sim import diversity, siso, spatial
+
+    rng = np.random.default_rng(0)
+
+    cfg = LTEConfig(bandwidth=10.0, modulation="16-QAM")
+    n = diversity.sfbc_bits_per_frame(cfg, 14)
+
+    def sfbc_sim(key, bits, snr, cfg):
+        return diversity.simulate_sfbc(key, bits, snr, cfg, num_rx=1,
+                                       channel_type="rayleigh_mp",
+                                       itu_profile="Pedestrian_A",
+                                       velocity_kmh=3.0)
+
+    for total, chunk in ((1024, 128), (512, 128)):
+        bits = jnp.asarray(rng.integers(0, 2, (total, n)).astype(np.int8))
+        snr = jnp.full((total,), 15.0, jnp.float32)
+        sim = lane_chunked(sfbc_sim, chunk, mode="unroll")
+
+        def step(key, bits=bits, snr=snr, sim=sim):
+            return jnp.sum(sim(key, bits, snr, cfg).bit_errors)
+
+        dt = _time_steps(step, _key(0), n_steps=8, n_rolls=2,
+                         slow_step_s=total / 60000.0, max_extra_rolls=1)
+        _rec(f"sfbc_unrolled_{total // chunk}x{chunk}", {
+            "ms_per_step": round(dt * 1e3, 2),
+            "frames_per_s": round(total / dt, 1),
+            "rolls": _rolls_record()})
+
+    # SIMO 1x4 QPSK 5 MHz (the bench shape) unrolled at 512 and 1024
+    scfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+    ns = siso.bits_per_frame(scfg, 14)
+
+    def simo_sim(key, bits, snr, cfg):
+        return diversity.simulate_simo(key, bits, snr, cfg, num_rx=4,
+                                       channel_type="rayleigh_mp",
+                                       itu_profile="Pedestrian_A",
+                                       velocity_kmh=3.0)
+
+    for total, chunk in ((512, 256), (1024, 256)):
+        bits = jnp.asarray(rng.integers(0, 2, (total, ns)).astype(np.int8))
+        snr = jnp.full((total,), 10.0, jnp.float32)
+        sim = lane_chunked(simo_sim, chunk, mode="unroll")
+
+        def step(key, bits=bits, snr=snr, sim=sim):
+            return jnp.sum(sim(key, bits, snr, scfg).bit_errors)
+
+        dt = _time_steps(step, _key(0), n_steps=8, n_rolls=2,
+                         slow_step_s=total / 50000.0, max_extra_rolls=1)
+        _rec(f"simo_unrolled_{total // chunk}x{chunk}", {
+            "ms_per_step": round(dt * 1e3, 2),
+            "frames_per_s": round(total / dt, 1),
+            "rolls": _rolls_record()})
+
+    # spatial 2x2 64-QAM 20 MHz (the bench shape) unrolled at 1024
+    pcfg = LTEConfig(bandwidth=20.0, modulation="64-QAM")
+    np_bits = spatial.bits_per_frame(pcfg, 14)
+    bits = jnp.asarray(rng.integers(0, 2, (1024, np_bits)).astype(np.int8))
+    snr = jnp.full((1024,), 25.0, jnp.float32)
+
+    def spatial_sim(key, bits, snr, cfg):
+        return spatial.simulate_spatial_multiplexing(
+            key, bits, snr, cfg, num_tx=2, num_rx=2, rank=2,
+            detector_type="MMSE")
+
+    sim = lane_chunked(spatial_sim, 256, mode="unroll")
+
+    def step(key):
+        return jnp.sum(sim(key, bits, snr, pcfg).bit_errors)
+
+    dt = _time_steps(step, _key(0), n_steps=8, n_rolls=2,
+                     slow_step_s=1024 / 50000.0, max_extra_rolls=1)
+    _rec("spatial_unrolled_4x256", {
         "ms_per_step": round(dt * 1e3, 2),
         "frames_per_s": round(1024 / dt, 1),
         "rolls": _rolls_record()})
@@ -204,6 +412,12 @@ def main():
         probe_coded()
     if which in ("stages",):
         probe_sfbc_stages()
+    if which in ("sfbc2",):
+        probe_sfbc_variants()
+    if which in ("unroll2",):
+        probe_unroll2()
+    if which in ("unroll3",):
+        probe_unroll3()
     _rec("wall_s", round(time.monotonic() - t0, 1))
 
 
