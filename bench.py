@@ -551,6 +551,41 @@ def bench_simo(lanes=DIVERSITY_LANES):
             "rolls": _rolls_record()}
 
 
+def bench_simo_chunked(lanes=1024, chunk=256):
+    """SIMO 1x4 at 1024 lanes via unrolled knee-sized chunks — the
+    unroll-chunking win transfers from SFBC (results/cliff_probe.json,
+    2026-08-21: flat 1024 ~73.7k frames/s, unrolled 4x256 107.2k, +38%;
+    2x256 at 512 lanes = 79.9k also beats the flat knee's 73.5k)."""
+    from ofdm_lte_tpu import LTEConfig
+    from ofdm_lte_tpu.parallel.chunking import lane_chunked
+    from ofdm_lte_tpu.sim import siso, diversity
+
+    cfg = LTEConfig(bandwidth=5.0, modulation="QPSK")
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(rng.integers(
+        0, 2, (lanes, siso.bits_per_frame(cfg, NUM_SYMBOLS))).astype(np.int8))
+    snr = jnp.full((lanes,), 10.0, jnp.float32)
+
+    def sim(key, bits, snr, cfg):
+        return diversity.simulate_simo(key, bits, snr, cfg, num_rx=4,
+                                       channel_type="rayleigh_mp",
+                                       itu_profile="Pedestrian_A",
+                                       velocity_kmh=3.0)
+
+    chunked = lane_chunked(sim, chunk, mode="unroll")
+
+    def step(key):
+        return chunked(key, bits, snr, cfg).bit_errors
+
+    fps = lanes / _time_steps(step, _key(0), n_steps=10,
+                              slow_step_s=lanes / 60000.0, n_rolls=2)
+    return {"frames_per_s": round(fps, 2),
+            "vs_reference_cpu": round(fps / REF_SIMO_FPS, 2),
+            "lanes": lanes, "chunk": chunk, "mode": "unroll",
+            "note": "lane_chunked unroll 4x256 (VERDICT r4 task 1)",
+            "rolls": _rolls_record()}
+
+
 def bench_sfbc(lanes=DIVERSITY_LANES):
     """BASELINE.json config #4: 2x1 Alamouti SFBC, 16-QAM, 10 MHz Rayleigh."""
     from ofdm_lte_tpu import LTEConfig
@@ -664,17 +699,17 @@ def bench_coded_batched():
                     "BCJR (simulate_siso_coded_batched)"}
 
 
-def bench_sfbc_chunked(lanes=1024, chunk=512):
-    """The SFBC 1024-lane CLIFF, fixed: 1024 lanes as two UNROLLED
-    512-lane independent subgraphs inside one program
+def bench_sfbc_chunked(lanes=1024, chunk=256):
+    """The SFBC 1024-lane CLIFF, fixed: 1024 lanes as UNROLLED knee-sized
+    independent subgraphs inside one program
     (parallel.chunking.lane_chunked mode='unroll'). Measured root cause
     and fix (2026-08-21, results/cliff_probe.json): flat 1024 lanes
     collapses to 49.8k frames/s (20.6 ms/step vs 5.6 at 512 — per-lane
-    cost 1.84x the knee's); unrolled 2x512 runs 8.21 ms -> 124.8k
-    frames/s, 2.5x the flat-1024 rate and 1.36x the 512-knee per-lane
-    rate (XLA interleaves the independent halves and hides latency that
-    even the flat knee program pays; the lax.scan variant's hard barrier
-    manages only 60.3k)."""
+    cost 1.84x the knee's); unrolled chunks interleave and hide latency
+    even the flat knee program pays. Chunk-size sweep at 1024 lanes:
+    2x512 124.8k / 4x256 141.4k / 8x128 99.0k frames/s — 256 is the
+    sweet chunk (the lax.scan variant's hard barrier manages only
+    60.3k)."""
     from ofdm_lte_tpu import LTEConfig
     from ofdm_lte_tpu.parallel.chunking import lane_chunked
     from ofdm_lte_tpu.sim import diversity
@@ -972,6 +1007,9 @@ def main():
                lambda: _retry_slow(bench_sfbc, fps, 70000.0), est_s=300)
     _run_entry("sfbc_2x1_chunked_1024_10MHz_16QAM",
                lambda: _retry_slow(bench_sfbc_chunked, fps, 80000.0),
+               est_s=400)
+    _run_entry("simo_1x4_chunked_1024_5MHz_QPSK",
+               lambda: _retry_slow(bench_simo_chunked, fps, 60000.0),
                est_s=400)
     _run_entry("ber_sweep_wall_clock", lambda: bench_sweep_wall_clock(cfg),
                est_s=200)

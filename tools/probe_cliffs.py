@@ -310,6 +310,41 @@ def probe_unroll3():
         "rolls": _rolls_record()})
 
 
+def probe_siso_unroll():
+    """Can unroll-chunking lift the SISO HEADLINE? Flat lane scaling is
+    saturated at ~175-178k frames/s for 256..2048 lanes (VALIDATION.md:
+    step = max(1.4 ms floor, lanes x ~5.7 us)) — if independent chunk
+    subgraphs interleave the way SFBC's did (+36% over its knee), the
+    per-lane 5.7 us should drop. Bench shape: 20 MHz 64-QAM, 14 symbols,
+    bf16 default path."""
+    from ofdm_lte_tpu import LTEConfig
+    from ofdm_lte_tpu.parallel.chunking import lane_chunked
+    from ofdm_lte_tpu.sim import siso
+
+    cfg = LTEConfig(bandwidth=20.0, modulation="64-QAM")
+    rng = np.random.default_rng(0)
+    n = siso.bits_per_frame(cfg, 14)
+
+    def siso_sim(key, bits, snr, cfg):
+        return siso.simulate_siso(key, bits, snr, cfg)
+
+    for total, chunk in ((512, 256), (1024, 256), (2048, 256)):
+        bits = jnp.asarray(rng.integers(0, 2, (total, n)).astype(np.int8))
+        snr = jnp.full((total,), 15.0, jnp.float32)
+        sim = lane_chunked(siso_sim, chunk, mode="unroll")
+
+        def step(key, bits=bits, snr=snr, sim=sim):
+            r = sim(key, bits, snr, cfg)
+            return jnp.sum(r.bit_errors), jnp.max(r.papr_db)
+
+        dt = _time_steps(step, _key(0), n_steps=8, n_rolls=2,
+                         slow_step_s=total / 100000.0, max_extra_rolls=1)
+        _rec(f"siso_unrolled_{total // chunk}x{chunk}", {
+            "ms_per_step": round(dt * 1e3, 2),
+            "frames_per_s": round(total / dt, 1),
+            "rolls": _rolls_record()})
+
+
 def probe_coded():
     from ofdm_lte_tpu import LTEConfig
     from ofdm_lte_tpu.sim import coded
@@ -418,6 +453,8 @@ def main():
         probe_unroll2()
     if which in ("unroll3",):
         probe_unroll3()
+    if which in ("siso_unroll",):
+        probe_siso_unroll()
     _rec("wall_s", round(time.monotonic() - t0, 1))
 
 
