@@ -895,7 +895,8 @@ def main():
         from ofdm_lte_tpu.utils.profiling import roofline_report
         rl = roofline_report(cfg, NUM_SYMBOLS, LANES,
                              measured_step_s=LANES / siso_fps,
-                             precision=precision)
+                             precision=precision,
+                             dispatch_floor_s=DISPATCH_FLOOR_S)
         return {k: (round(v, 4) if isinstance(v, float) else v)
                 for k, v in rl.items()}
 
@@ -916,7 +917,8 @@ def main():
             rl = roofline_report(
                 cfg, NUM_SYMBOLS, LANES,
                 measured_step_s=LANES / alt_entry["frames_per_s"],
-                precision=alt)
+                precision=alt,
+                dispatch_floor_s=DISPATCH_FLOOR_S)
             return {k: (round(v, 4) if isinstance(v, float) else v)
                     for k, v in rl.items()}
         _run_entry(f"siso_roofline_{alt}", roofline_alt, est_s=5)

@@ -168,6 +168,7 @@ def cmd_sweep(args):
                              num_tx=args.num_tx, num_rx=args.num_rx,
                              coded_tb_bits=getattr(args, "tb_bits", 6000),
                              detector_type=detector, rank=rank,
+                             frame_chunk=getattr(args, "frame_chunk", None),
                              mode="sc-fdm" if args.sc_fdm else "lte")
         for i in range(len(snrs)):
             state["errors"][i] += int(r.bit_errors[i])
@@ -732,6 +733,12 @@ def build_parser():
     sp.add_argument("--rank", default=None,
                     help="spatial rank: integer or 'full' "
                          "(= min(num_tx, num_rx))")
+    sp.add_argument("--frame-chunk", type=int, default=None,
+                    dest="frame_chunk",
+                    help="process each SNR point's frames in unrolled "
+                         "chunks of this size (knee-chunking: beats the "
+                         "flat rate past the per-pipeline lane knee for "
+                         "sfbc/simo; see results/cliff_probe.json)")
     sp.add_argument("--snr-shards", type=int, default=1, dest="snr_shards",
                     help="shard SNR points across this many mesh rows "
                          "(2-D snr x mc mesh; must divide device count)")

@@ -142,7 +142,8 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
               velocity_kmh: float = None, pipeline: str = "siso",
               num_tx: int = 2, num_rx: int = 2,
               coded_tb_bits: int = 6000,
-              detector_type: str = "MMSE", rank: int = None) -> SweepResult:
+              detector_type: str = "MMSE", rank: int = None,
+              frame_chunk: int = None) -> SweepResult:
     """Run a full BER sweep: (num_devices · frames_per_device) frames per SNR
     point, error counts psum-reduced across the mesh.
 
@@ -159,6 +160,16 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
     GUI's detector selector (MMSE/IRC/ZF/SIC/MRC) at sweep scale
     (/root/reference/Spatial/gui/main_window.py:94-149,
     core/mimo_detector.py:200-306). rank=None uses min(num_tx, num_rx).
+
+    frame_chunk: process each SNR point's frames_per_device in UNROLLED
+    chunks of this size (independent subgraphs inside the one sharded
+    program — parallel/chunking rationale). Per-lane cost has measured
+    knees past which big flat batches collapse (results/cliff_probe.json:
+    SFBC and SIMO lose 2x past ~512 lanes; knee-chunk unrolling instead
+    GAINS 1.4-1.6x over the flat knee rate). Use the per-pipeline knee
+    (~256 lanes / 14-symbol frames => frame_chunk ~128 at 28 symbols)
+    when frames_per_device is large; None (default) keeps one flat vmap.
+    Ignored unless it divides frames_per_device.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -202,10 +213,26 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
                               num_tx, num_rx, detector_type, rank)
             return r
 
-        errs, paprs = jax.vmap(
-            lambda ks, bs, snr: jax.vmap(
-                lambda k, b: one_lane(k, b, snr))(ks, bs)
-        )(keys, bits, snrs)
+        if frame_chunk and frame_chunk < F and F % frame_chunk == 0:
+            nch = F // frame_chunk
+
+            def one_snr(ks, bs, snr):
+                # unrolled knee-sized chunks: independent subgraphs XLA
+                # interleaves (measured 1.4-1.6x the flat rate past the
+                # lane knee for SFBC/SIMO, results/cliff_probe.json)
+                outs = [jax.vmap(lambda k, b: one_lane(k, b, snr))(
+                    ks[i * frame_chunk:(i + 1) * frame_chunk],
+                    bs[i * frame_chunk:(i + 1) * frame_chunk])
+                    for i in range(nch)]
+                return tuple(jnp.concatenate([o[j] for o in outs])
+                             for j in range(2))
+
+            errs, paprs = jax.vmap(one_snr)(keys, bits, snrs)
+        else:
+            errs, paprs = jax.vmap(
+                lambda ks, bs, snr: jax.vmap(
+                    lambda k, b: one_lane(k, b, snr))(ks, bs)
+            )(keys, bits, snrs)
 
         # overflow-safe error reduction: the per-device count is bounded by
         # F·n_bits (asserted < 2^31 below), but the cross-device psum of raw

@@ -140,28 +140,54 @@ def _total_roofline_s(costs, peaks=None) -> float:
                    c.bytes / peaks["hbm"]) for c in costs.values())
 
 
-def _fraction_fields(costs, measured_step_s: float) -> Dict:
-    """Both roofline fractions: against the MEASURED unit ceilings (what
-    this backend's compiler demonstrably reaches on standalone kernels;
-    can exceed 1 when the program fuses elementwise stages into matmul
-    epilogues so they never pay the standalone-VPU rate) and against the
-    DATASHEET peaks (a hard lower bound on the fraction)."""
-    t_active = _total_roofline_s(costs)
+def _fraction_fields(costs, measured_step_s: float,
+                     dispatch_floor_s: float = 0.0) -> Dict:
+    """Roofline fields for a cost dict against a MEASURED per-step time.
+
+    The primary `roofline_fraction` models what the compiled program
+    actually executes PER STEP under the bench's fixed-codeword
+    Monte-Carlo harness: stages marked loop_invariant (the TX side — it
+    depends only on the constant bits) are hoisted out of the serialized
+    step loop by XLA (verified on-chip: a keyed-bits variant that defeats
+    hoisting runs the same program 6.0x slower, hoisted share 83%,
+    results/hoisting_probe.json), so they are excluded, and the measured
+    serialized-dispatch floor is added (it is genuinely paid every step).
+    The floor and the device compute OVERLAP (the floor is host-side
+    dispatch-pipeline latency, during which the device still executes),
+    so a serialized step can do no better than max(floor, steady_work),
+    not their sum; and the floor term is clamped to the measured step
+    (a step that ran in 1.31 ms proves this session's floor is <=
+    1.31 ms, whatever the pinned estimate says).
+    fraction = max(min(floor, measured), steady_roofline) / measured —
+    in (0, 1] when the model and ceilings are right.
+
+    `full_chain_roofline_s` keeps the all-stages model, and
+    `full_chain_model_over_measured_x` reports how many times the
+    modeled full chain exceeds the measured step — i.e. the measured
+    amortization win of the fixed-codeword harness, NOT a fraction of
+    speed-of-light (it exceeds 1 by design).
+
+    `roofline_fraction_datasheet_peaks` recomputes the steady fraction
+    against datasheet unit peaks — a hard lower bound."""
+    steady = {k: c for k, c in costs.items() if not c.loop_invariant}
+    t_steady = _total_roofline_s(steady)
+    t_full = _total_roofline_s(costs)
+    floor_eff = min(dispatch_floor_s, measured_step_s)
     out = {
-        "roofline_s": t_active,
-        "roofline_fraction": t_active / measured_step_s
+        "roofline_s": max(floor_eff, t_steady),
+        "roofline_fraction": max(floor_eff, t_steady)
+        / measured_step_s if measured_step_s else 0.0,
+        "full_chain_roofline_s": t_full,
+        "full_chain_model_over_measured_x": t_full / measured_step_s
         if measured_step_s else 0.0,
+        "hoisted_stages": sorted(k for k, c in costs.items()
+                                 if c.loop_invariant),
     }
     if PEAKS_SOURCE != "datasheet-estimate":
-        t_ds = _total_roofline_s(costs, _DATASHEET_PEAKS)
+        t_ds = _total_roofline_s(steady, _DATASHEET_PEAKS)
         out["roofline_fraction_datasheet_peaks"] = (
-            t_ds / measured_step_s if measured_step_s else 0.0)
-        if out["roofline_fraction"] > 1.0:
-            out["note_fraction_gt_1"] = (
-                "model charges VPU stages at the standalone-elementwise "
-                "measured ceiling; XLA fuses several into matmul "
-                "epilogues, so the program legitimately beats the "
-                "un-fused speed-of-light")
+            max(floor_eff, t_ds) / measured_step_s
+            if measured_step_s else 0.0)
     return out
 
 
@@ -197,6 +223,12 @@ class KernelCost:
     bytes: float
     peak_flops: float = PEAK_F32_FLOPS   # rate this kernel's flops run at
     unit: str = None                     # "mxu_<precision>" | "vpu" | None
+    # True for stages that depend only on the (constant) TX bits, not on
+    # the per-step PRNG key: under the bench's fixed-codeword Monte-Carlo
+    # harness XLA hoists them out of the serialized step loop entirely
+    # (measured: 83% of the SISO chain, results/hoisting_probe.json), so
+    # the per-step roofline must exclude them
+    loop_invariant: bool = False
 
     def roofline_time_s(self, peak_bw=PEAK_HBM_BYTES_S) -> float:
         return max(self.flops / self.peak_flops, self.bytes / peak_bw)
@@ -208,7 +240,8 @@ def _mxu_unit(precision: str) -> str:
 
 
 def _cmatmul_cost(name, m, k, n, peak=PEAK_F32_FLOPS,
-                  dtype_bytes=4, unit=None) -> KernelCost:
+                  dtype_bytes=4, unit=None,
+                  loop_invariant=False) -> KernelCost:
     """Complex matmul in the 8·m·k·n effective-FLOP convention (4 real
     matmuls; the gauss 3-multiply path executes 6mkn but the unit
     ceilings are measured in the same 8mkn-effective currency, see
@@ -216,7 +249,8 @@ def _cmatmul_cost(name, m, k, n, peak=PEAK_F32_FLOPS,
     pairs."""
     flops = 8.0 * m * k * n
     byts = dtype_bytes * 2 * (m * k + k * n + m * n)
-    return KernelCost(name, flops, byts, peak, unit)
+    return KernelCost(name, flops, byts, peak, unit,
+                      loop_invariant=loop_invariant)
 
 
 def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
@@ -263,19 +297,32 @@ def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
     bB = bits_dtype_bytes      # bench feeds int8 bit arrays (1 B/bit);
     #                            int32 callers pay 4 B/bit here
     mxu = PEAK_MXU_BY_PRECISION.get(precision, PEAK_F32_FLOPS)
+    # loop-invariant tags: under a fixed-codeword harness the TX side
+    # (and, in freq-AWGN mode, both RX DFTs of the then-constant signal)
+    # depends only on the bits — XLA hoists it out of the step loop
+    inv_rx = awgn_mode == "freq"
     costs = {
         "tx_idft": _cmatmul_cost("tx_idft", S, g.num_data, sps, mxu,
-                                 unit=_mxu_unit(precision)),
+                                 unit=_mxu_unit(precision),
+                                 loop_invariant=True),
         "rx_dft_data": _cmatmul_cost("rx_dft_data", S, config.N,
                                      g.num_data, mxu,
-                                     unit=_mxu_unit(precision)),
+                                     unit=_mxu_unit(precision),
+                                     loop_invariant=inv_rx),
         "rx_dft_pilot": _cmatmul_cost(
             "rx_dft_pilot", lanes * max(1, num_symbols // 14), config.N,
-            g.num_pilot, mxu, unit=_mxu_unit(precision)),
-        "awgn_channel": KernelCost(
-            "awgn_channel",
-            flops=(3 * T + (2 * 24 + 4) * Tb),
-            bytes=(8 * T + (0 if awgn_mode == "freq" else 16) * Tb),
+            g.num_pilot, mxu, unit=_mxu_unit(precision),
+            loop_invariant=inv_rx),
+        # noise power from the (constant) TX signal: hoisted
+        "awgn_sigma": KernelCost(
+            "awgn_sigma", flops=3.0 * T, bytes=8.0 * T,
+            peak_flops=PEAK_VPU_FLOPS, unit="vpu",
+            loop_invariant=True),
+        # the per-step noise draw + scale-add
+        "awgn_rng_add": KernelCost(
+            "awgn_rng_add",
+            flops=(2 * 24 + 4) * Tb,
+            bytes=(0 if awgn_mode == "freq" else 16) * Tb,
             peak_flops=PEAK_VPU_FLOPS,
             unit="vpu"),
         "papr": KernelCost(
@@ -283,13 +330,15 @@ def siso_frame_cost(config: LTEConfig, num_symbols: int = 14,
             # (ofdm.papr_db): one read of the complex signal, 4 flops/sample
             "papr", flops=4.0 * T, bytes=8.0 * T,
             peak_flops=PEAK_VPU_FLOPS,
-            unit="vpu"),
+            unit="vpu",
+            loop_invariant=True),
         "qam_map": KernelCost(
             # bits -> symbols: read bps ints per symbol (at the caller's
             # bit dtype width), closed-form per-axis map
             "qam_map", flops=10.0 * D, bytes=bB * bits_per * D + 8.0 * D,
             peak_flops=PEAK_VPU_FLOPS,
-            unit="vpu"),
+            unit="vpu",
+            loop_invariant=True),
         "qam_demap": KernelCost("qam_demap", flops=30.0 * D,
                                 bytes=8.0 * D + bB * bits_per * D,
                                 peak_flops=PEAK_VPU_FLOPS,
@@ -342,13 +391,15 @@ def spatial_frame_cost(config: LTEConfig, num_symbols: int = 14,
     bB = bits_dtype_bytes
     mxu = PEAK_MXU_BY_PRECISION.get(precision, PEAK_F32_FLOPS)
     costs = {
-        # bits -> QAM symbols -> zero-pad -> layers -> W precode (VPU)
+        # bits -> QAM symbols -> zero-pad -> layers -> W precode (VPU);
+        # loop-invariant under the fixed-codeword harness (constant bits)
         "qam_map_precode": KernelCost(
             "qam_map_precode",
             flops=(10.0 + 8.0 * rank) * Dq,
             bytes=bB * bps * Dq + 8.0 * Dq + 8.0 * num_tx * lanes * S * m,
             peak_flops=PEAK_VPU_FLOPS,
-            unit="vpu"),
+            unit="vpu",
+            loop_invariant=True),
         # fused scatter+IDFT+CP: ONE batched cmatmul over the antenna axis
         # (gauss 3-multiply form on TPU: 6·m·k·n real flops)
         "tx_idft": KernelCost(
@@ -356,13 +407,15 @@ def spatial_frame_cost(config: LTEConfig, num_symbols: int = 14,
             flops=8.0 * (B * num_tx) * m * sps,
             bytes=8.0 * B * num_tx * (m + sps),
             peak_flops=mxu,
-            unit=_mxu_unit(precision)),
+            unit=_mxu_unit(precision),
+            loop_invariant=True),
         # PAPR + TX cross-correlation pass: one fused read of the TX
         # signals, ~8 flops/sample (|x|², max/mean, num_tx² corr FMAs)
         "papr_corr": KernelCost(
             "papr_corr", flops=8.0 * num_tx * T,
             bytes=8.0 * num_tx * T, peak_flops=PEAK_VPU_FLOPS,
-            unit="vpu"),
+            unit="vpu",
+            loop_invariant=True),
         # bin-domain channel: per-RX mixing FMAs + CN noise (counter RNG
         # ~24 VPU flops/normal + fused scale-add), one plane write
         "channel_bins": KernelCost(
@@ -425,7 +478,7 @@ def spatial_roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
     costs = spatial_frame_cost(config, num_symbols, lanes, num_tx, num_rx,
                                rank, precision, channel_impl=channel_impl)
     over_floor = max(measured_step_s - dispatch_floor_s, 1e-9)
-    frac = _fraction_fields(costs, measured_step_s)
+    frac = _fraction_fields(costs, measured_step_s, dispatch_floor_s)
     return {
         "precision": precision,
         "peaks_source": PEAKS_SOURCE,
@@ -435,7 +488,9 @@ def spatial_roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
         "measured_s": measured_step_s,
         "dispatch_floor_s": dispatch_floor_s,
         **frac,
-        "roofline_fraction_excl_floor": frac["roofline_s"] / over_floor,
+        "roofline_fraction_excl_floor":
+        sum(c.roofline_time_s() for c in costs.values()
+            if not c.loop_invariant) / over_floor,
         "per_kernel_us": {k: round(c.roofline_time_s() * 1e6, 1)
                           for k, c in costs.items()},
     }
@@ -517,13 +572,13 @@ def simo_frame_cost(config: LTEConfig, num_symbols: int = 14,
         "qam_map": KernelCost("qam_map", flops=10.0 * D,
                               bytes=bB * bps * D + 8.0 * D,
                               peak_flops=PEAK_VPU_FLOPS,
-            unit="vpu"),
+            unit="vpu", loop_invariant=True),
         "tx_idft": KernelCost("tx_idft", flops=8.0 * B * nd * sps,
                               bytes=8.0 * B * (nd + sps), peak_flops=mxu,
-            unit=_mxu_unit(precision)),
+            unit=_mxu_unit(precision), loop_invariant=True),
         "papr": KernelCost("papr", flops=4.0 * T, bytes=8.0 * T,
                            peak_flops=PEAK_VPU_FLOPS,
-            unit="vpu"),
+            unit="vpu", loop_invariant=True),
         **_jakes_channel_costs(S * sps, num_rx * lanes, num_taps,
                                precision,
                                profile=_bench_profile(config)),
@@ -587,15 +642,15 @@ def sfbc_frame_cost(config: LTEConfig, num_symbols: int = 14,
         "qam_map_alamouti": KernelCost(
             "qam_map_alamouti", flops=16.0 * D,
             bytes=bB * bps * D + 8.0 * 2 * D, peak_flops=PEAK_VPU_FLOPS,
-            unit="vpu"),
+            unit="vpu", loop_invariant=True),
         "tx_idft": KernelCost("tx_idft", flops=8.0 * 2 * B * ne * sps,
                               bytes=8.0 * 2 * B * (ne + sps),
                               peak_flops=mxu,
-            unit=_mxu_unit(precision)),
+            unit=_mxu_unit(precision), loop_invariant=True),
         "papr": KernelCost("papr", flops=4.0 * 2 * B * sps,
                            bytes=8.0 * 2 * B * sps,
                            peak_flops=PEAK_VPU_FLOPS,
-            unit="vpu"),
+            unit="vpu", loop_invariant=True),
         **_jakes_channel_costs(S * sps, 2 * num_rx * lanes, num_taps,
                                precision,
                                profile=_bench_profile(config)),
@@ -639,7 +694,7 @@ def fir_roofline_report(costs: Dict[str, KernelCost],
     fir_s = sum(c.roofline_time_s() for k, c in costs.items()
                 if k in ("jakes_matmul", "tap_fma"))
     over_floor = max(measured_step_s - dispatch_floor_s, 1e-9)
-    frac = _fraction_fields(costs, measured_step_s)
+    frac = _fraction_fields(costs, measured_step_s, dispatch_floor_s)
     return {
         "precision": precision,
         "peaks_source": PEAKS_SOURCE,
@@ -649,7 +704,9 @@ def fir_roofline_report(costs: Dict[str, KernelCost],
         "measured_s": measured_step_s,
         "dispatch_floor_s": dispatch_floor_s,
         **frac,
-        "roofline_fraction_excl_floor": frac["roofline_s"] / over_floor,
+        "roofline_fraction_excl_floor":
+        sum(c.roofline_time_s() for c in costs.values()
+            if not c.loop_invariant) / over_floor,
         "per_kernel_us": {k: round(c.roofline_time_s() * 1e6, 1)
                           for k, c in costs.items()},
     }
@@ -659,20 +716,25 @@ def roofline_report(config: LTEConfig, num_symbols: int, lanes: int,
                     measured_step_s: float,
                     precision: str = "highest",
                     bits_dtype_bytes: int = 1,
-                    awgn_mode: str = "freq") -> Dict:
+                    awgn_mode: str = "freq",
+                    dispatch_floor_s: float = 0.0) -> Dict:
     costs = siso_frame_cost(config, num_symbols, lanes, precision,
                             bits_dtype_bytes, awgn_mode)
     total_flops = sum(c.flops for c in costs.values())
     total_bytes = sum(c.bytes for c in costs.values())
-    frac = _fraction_fields(costs, measured_step_s)
+    frac = _fraction_fields(costs, measured_step_s, dispatch_floor_s)
     return {
         "precision": precision,
         "peaks_source": PEAKS_SOURCE,
         "modeled_gflops": total_flops / 1e9,
         "modeled_gbytes": total_bytes / 1e9,
         "measured_s": measured_step_s,
+        "dispatch_floor_s": dispatch_floor_s,
         **frac,
-        "achieved_tflops": total_flops / measured_step_s / 1e12
+        # full-chain flops over the measured step: the AMORTIZED rate the
+        # fixed-codeword harness effectively delivers (hoisted TX included
+        # in the numerator) — a throughput figure, not a unit fraction
+        "effective_amortized_tflops": total_flops / measured_step_s / 1e12
         if measured_step_s else 0.0,
         "per_kernel_us": {k: round(c.roofline_time_s() * 1e6, 1)
                           for k, c in costs.items()},

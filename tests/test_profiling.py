@@ -17,13 +17,22 @@ def test_peaks_loaded_from_artifact():
 
 def test_reports_carry_dual_fractions():
     cfg = LTEConfig(bandwidth=20.0, modulation="64-QAM")
-    r = pr.roofline_report(cfg, 14, 256, 1.4e-3, precision="default")
+    r = pr.roofline_report(cfg, 14, 256, 1.4e-3, precision="default",
+                           dispatch_floor_s=1.3e-3)
     assert 0 < r["roofline_fraction"]
-    assert 0 < r["roofline_fraction_datasheet_peaks"] \
-        <= r["roofline_fraction"] * 5
+    assert 0 < r["roofline_fraction_datasheet_peaks"]
+    # steady-state accounting: the TX side and (freq-AWGN) RX DFTs are
+    # loop-invariant under the fixed-codeword harness and excluded from
+    # the per-step fraction; the full chain stays reported separately
+    assert {"tx_idft", "qam_map", "papr", "awgn_sigma", "rx_dft_data",
+            "rx_dft_pilot"} <= set(r["hoisted_stages"])
+    assert r["full_chain_roofline_s"] > r["roofline_s"] - 1.3e-3
+    assert r["full_chain_model_over_measured_x"] > r["roofline_fraction"]
     rs = pr.spatial_roofline_report(cfg, 14, 1024, 15e-3,
                                     dispatch_floor_s=1.4e-3)
-    assert rs["roofline_fraction"] < rs["roofline_fraction_excl_floor"]
+    assert 0 < rs["roofline_fraction_excl_floor"]
+    assert rs["hoisted_stages"] == ["papr_corr", "qam_map_precode",
+                                    "tx_idft"]
     assert set(rs["per_kernel_us"]) == {
         "qam_map_precode", "tx_idft", "papr_corr", "channel_bins",
         "estimate_per_tx", "detect_mmse2", "demap_count"}

@@ -25,6 +25,27 @@ def test_sweep_runs_on_mesh():
     assert np.all(np.asarray(r.papr_db) > 3.0)
 
 
+def test_sweep_frame_chunk_bit_identical():
+    """frame_chunk only regroups the per-SNR vmap into unrolled chunks —
+    keys and bits are derived identically, so results must be
+    bit-identical to the flat call."""
+    cfg = LTEConfig(bandwidth=1.25, modulation="QPSK")
+    mesh = sweep.make_mesh()
+    kw = dict(snr_points=[4.0, 8.0], frames_per_device=4,
+              num_ofdm_symbols=14, mesh=mesh)
+    flat = sweep.ber_sweep(jax.random.PRNGKey(3), cfg, **kw)
+    chunked = sweep.ber_sweep(jax.random.PRNGKey(3), cfg,
+                              frame_chunk=2, **kw)
+    np.testing.assert_array_equal(np.asarray(flat.bit_errors),
+                                  np.asarray(chunked.bit_errors))
+    np.testing.assert_allclose(np.asarray(flat.papr_db),
+                               np.asarray(chunked.papr_db), rtol=1e-6)
+    # non-dividing chunk falls back to the flat path
+    fb = sweep.ber_sweep(jax.random.PRNGKey(3), cfg, frame_chunk=3, **kw)
+    np.testing.assert_array_equal(np.asarray(flat.bit_errors),
+                                  np.asarray(fb.bit_errors))
+
+
 def test_sweep_single_device_matches_mesh_statistics():
     cfg = LTEConfig(bandwidth=1.25, modulation="QPSK")
     mesh1 = sweep.make_mesh(jax.devices()[:1])
