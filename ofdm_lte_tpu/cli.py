@@ -733,12 +733,15 @@ def build_parser():
     sp.add_argument("--rank", default=None,
                     help="spatial rank: integer or 'full' "
                          "(= min(num_tx, num_rx))")
-    sp.add_argument("--frame-chunk", type=int, default=None,
-                    dest="frame_chunk",
-                    help="process each SNR point's frames in unrolled "
-                         "chunks of this size (knee-chunking: beats the "
-                         "flat rate past the per-pipeline lane knee for "
-                         "sfbc/simo; see results/cliff_probe.json)")
+    sp.add_argument("--frame-chunk", default=None, dest="frame_chunk",
+                    type=lambda s: s if s == "auto" else int(s),
+                    help="process each SNR point's frames in knee-sized "
+                         "chunks: an int unrolls chunks of that size; "
+                         "'auto' applies the measured per-pipeline policy "
+                         "(unroll for sfbc/simo, sequential scan for "
+                         "coded, flat otherwise; "
+                         "parallel.chunking.auto_chunk, "
+                         "results/cliff_probe.json)")
     sp.add_argument("--snr-shards", type=int, default=1, dest="snr_shards",
                     help="shard SNR points across this many mesh rows "
                          "(2-D snr x mc mesh; must divide device count)")

@@ -37,6 +37,73 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Measured chunk policy per pipeline (TPU chip, 2026-08-21,
+# results/cliff_probe.json; knees in lanes of 14-OFDM-symbol frames —
+# "coded" lanes are transport blocks, symbol-count-independent):
+#
+#   sfbc    unroll x256: 4x256@1024 = 141.4k f/s vs 49.8k flat (2.8x);
+#           2x256@512 = 103.1k vs the flat knee's own 91.5k (+13%)
+#   simo    unroll x256: 4x256@1024 = 107.2k vs ~73.7k flat (+38%)
+#   coded   scan  x128: 2x128@256 = 1,795 TB/s vs 906 flat (+98%);
+#           unroll measured slightly WORSE than scan here (1,694)
+#   siso    never: unrolling fragments one dense MXU stream
+#           (4x256@1024 = 98.5k vs 175k flat)
+#   spatial never: bin-domain pipeline is MXU-dense, no exposed latency
+#           (4x256@1024 = 64.7k ~= 68.7k flat)
+#   beamforming  no measured knee; frequency-domain chain is small
+MEASURED_KNEES = {
+    "sfbc": (256, "unroll"),
+    "simo": (256, "unroll"),
+    "coded": (128, "scan"),
+    "siso": (None, None),
+    "spatial": (None, None),
+    "beamforming": (None, None),
+}
+
+# Unrolling emits one subgraph copy per chunk; past ~8 copies the program
+# bloat erodes the win (8x128@1024 = 99.0k vs 4x256's 141.4k).
+_MAX_UNROLL_CHUNKS = 8
+
+
+def auto_chunk(pipeline: str, lanes, num_ofdm_symbols: int = 14):
+    """Measured-knee chunk geometry for a batched pipeline: returns
+    (chunk_size, mode) to pass to `lane_chunked` / sweep `frame_chunk`,
+    or (None, None) when flat execution is the measured optimum.
+
+    `lanes` is the total leading batch; `num_ofdm_symbols` scales the
+    per-lane work relative to the 14-symbol frames the knees were
+    measured at (a 28-symbol frame costs ~2x, so the knee halves).
+    Unknown pipelines get (None, None) — flat is the safe default.
+    """
+    knee, mode = MEASURED_KNEES.get(pipeline, (None, None))
+    if knee is None or not lanes:
+        return None, None
+    if pipeline != "coded":
+        knee = max(1, knee * 14 // max(1, int(num_ofdm_symbols)))
+    lanes = int(lanes)
+    if lanes <= knee:
+        return None, None
+    # largest divisor of the lane count that keeps chunks at/below the knee
+    chunk = max((d for d in range(1, knee + 1) if lanes % d == 0))
+    if chunk == 1 and lanes > 1:
+        return None, None          # prime-ish lane count: nothing divides
+    if mode == "unroll" and lanes // chunk > _MAX_UNROLL_CHUNKS:
+        if lanes % _MAX_UNROLL_CHUNKS == 0:
+            chunk = lanes // _MAX_UNROLL_CHUNKS
+        else:
+            return None, None      # refuse a program-bloat unroll
+    return chunk, mode
+
+
+def auto_lane_chunked(sim_fn, pipeline: str, lanes,
+                      num_ofdm_symbols: int = 14):
+    """`lane_chunked` with the measured `auto_chunk` geometry; returns
+    sim_fn unchanged when the policy says flat execution wins."""
+    chunk, mode = auto_chunk(pipeline, lanes, num_ofdm_symbols)
+    if chunk is None:
+        return sim_fn
+    return lane_chunked(sim_fn, chunk, mode=mode)
+
 
 def lane_chunked(sim_fn, chunk_size: int, mode: str = "unroll"):
     """Wrap sim_fn(key, bits, snr, *args, **kw) to process leading-axis

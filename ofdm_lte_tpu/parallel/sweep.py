@@ -161,15 +161,20 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
     (/root/reference/Spatial/gui/main_window.py:94-149,
     core/mimo_detector.py:200-306). rank=None uses min(num_tx, num_rx).
 
-    frame_chunk: process each SNR point's frames_per_device in UNROLLED
-    chunks of this size (independent subgraphs inside the one sharded
-    program — parallel/chunking rationale). Per-lane cost has measured
-    knees past which big flat batches collapse (results/cliff_probe.json:
-    SFBC and SIMO lose 2x past ~512 lanes; knee-chunk unrolling instead
-    GAINS 1.4-1.6x over the flat knee rate). Use the per-pipeline knee
-    (~256 lanes / 14-symbol frames => frame_chunk ~128 at 28 symbols)
-    when frames_per_device is large; None (default) keeps one flat vmap.
-    Ignored unless it divides frames_per_device.
+    frame_chunk: process each SNR point's frames_per_device in chunks of
+    this size inside the one sharded program (parallel/chunking
+    rationale). Per-lane cost has measured knees past which big flat
+    batches collapse (results/cliff_probe.json: SFBC and SIMO lose 2x
+    past ~512 lanes; knee-chunk unrolling instead GAINS 1.4-1.6x over
+    the flat knee rate; the coded chain doubles with scan chunks).
+    An int chunks with UNROLLED independent subgraphs; "auto" applies
+    the measured per-pipeline policy (parallel.chunking.auto_chunk —
+    unroll x256-lane-equivalent for sfbc/simo, sequential lax.map x128
+    for coded, flat for siso/spatial/beamforming); a (chunk, mode)
+    tuple picks the geometry explicitly (mode "unroll" or "scan").
+    None (default) keeps one flat vmap. Ignored unless it divides frames_per_device. Chunked
+    and flat runs use identical per-lane keys, so results match the
+    flat program up to float reassociation.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -193,6 +198,12 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
     n_bits = _bits_per_frame(config, num_ofdm_symbols, mode, pipeline,
                              coded_tb_bits)
     F = frames_per_device
+    chunk_mode = "unroll"
+    if frame_chunk == "auto":
+        from .chunking import auto_chunk
+        frame_chunk, chunk_mode = auto_chunk(pipeline, F, num_ofdm_symbols)
+    elif isinstance(frame_chunk, (tuple, list)):
+        frame_chunk, chunk_mode = frame_chunk    # explicit (chunk, mode)
 
     def per_device(key, snrs):
         # distinct stream per device, derived from a REPLICATED base key —
@@ -216,16 +227,30 @@ def ber_sweep(key: jax.Array, config: LTEConfig, snr_points,
         if frame_chunk and frame_chunk < F and F % frame_chunk == 0:
             nch = F // frame_chunk
 
-            def one_snr(ks, bs, snr):
-                # unrolled knee-sized chunks: independent subgraphs XLA
-                # interleaves (measured 1.4-1.6x the flat rate past the
-                # lane knee for SFBC/SIMO, results/cliff_probe.json)
-                outs = [jax.vmap(lambda k, b: one_lane(k, b, snr))(
-                    ks[i * frame_chunk:(i + 1) * frame_chunk],
-                    bs[i * frame_chunk:(i + 1) * frame_chunk])
-                    for i in range(nch)]
-                return tuple(jnp.concatenate([o[j] for o in outs])
-                             for j in range(2))
+            if chunk_mode == "scan":
+                def one_snr(ks, bs, snr):
+                    # sequential lax.map over knee-sized chunks: one copy
+                    # of the chunk program, linear cost — the measured
+                    # winner for the coded chain (1,795 vs 906 TB/s,
+                    # results/cliff_probe.json)
+                    ksc = ks.reshape((nch, frame_chunk) + ks.shape[1:])
+                    bsc = bs.reshape((nch, frame_chunk) + bs.shape[1:])
+                    out = jax.lax.map(
+                        lambda xs: jax.vmap(
+                            lambda k, b: one_lane(k, b, snr))(xs[0], xs[1]),
+                        (ksc, bsc))
+                    return tuple(o.reshape((F,)) for o in out)
+            else:
+                def one_snr(ks, bs, snr):
+                    # unrolled knee-sized chunks: independent subgraphs XLA
+                    # interleaves (measured 1.4-1.6x the flat rate past the
+                    # lane knee for SFBC/SIMO, results/cliff_probe.json)
+                    outs = [jax.vmap(lambda k, b: one_lane(k, b, snr))(
+                        ks[i * frame_chunk:(i + 1) * frame_chunk],
+                        bs[i * frame_chunk:(i + 1) * frame_chunk])
+                        for i in range(nch)]
+                    return tuple(jnp.concatenate([o[j] for o in outs])
+                                 for j in range(2))
 
             errs, paprs = jax.vmap(one_snr)(keys, bits, snrs)
         else:

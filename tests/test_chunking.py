@@ -7,7 +7,8 @@ import jax.numpy as jnp
 import pytest
 
 from ofdm_lte_tpu import LTEConfig
-from ofdm_lte_tpu.parallel.chunking import lane_chunked
+from ofdm_lte_tpu.parallel.chunking import (lane_chunked, auto_chunk,
+                                            auto_lane_chunked)
 from ofdm_lte_tpu.sim import siso, diversity
 
 
@@ -96,3 +97,51 @@ def test_chunked_fallback_paths():
 
     with pytest.raises(ValueError):
         lane_chunked(fn, 4, mode="vmap")
+
+
+def test_auto_chunk_policy():
+    """Measured-knee policy (results/cliff_probe.json): unroll x256 for
+    sfbc/simo past the knee, scan x128 for coded, flat for the dense-MXU
+    pipelines, with the knee scaled by per-frame symbol count."""
+    assert auto_chunk("sfbc", 1024) == (256, "unroll")
+    assert auto_chunk("sfbc", 512) == (256, "unroll")
+    assert auto_chunk("simo", 1024) == (256, "unroll")
+    assert auto_chunk("coded", 256) == (128, "scan")
+    # at/below the knee: flat
+    assert auto_chunk("sfbc", 256) == (None, None)
+    assert auto_chunk("coded", 128) == (None, None)
+    assert auto_chunk("coded", 8) == (None, None)
+    # 28-symbol frames cost ~2x the measured 14-symbol lanes: knee halves
+    assert auto_chunk("sfbc", 1024, num_ofdm_symbols=28) == (128, "unroll")
+    # coded lanes are transport blocks — symbol-count-independent
+    assert auto_chunk("coded", 256, num_ofdm_symbols=28) == (128, "scan")
+    # measured-negative pipelines and unknown names: always flat
+    for p in ("siso", "spatial", "beamforming", "nonesuch"):
+        assert auto_chunk(p, 4096) == (None, None)
+    # unroll program-bloat cap: 4096/256 = 16 subgraphs -> grow the chunk
+    # to the 8-chunk cap instead
+    assert auto_chunk("sfbc", 4096) == (512, "unroll")
+    # prime-ish lane count: nothing at/below the knee divides -> flat
+    assert auto_chunk("sfbc", 509) == (None, None)
+    assert auto_chunk("sfbc", 0) == (None, None)
+
+
+def test_auto_lane_chunked_wrapping():
+    fn = lambda k, b, s: b  # noqa: E731
+    # flat-policy pipelines return the function unchanged
+    assert auto_lane_chunked(fn, "siso", 4096) is fn
+    assert auto_lane_chunked(fn, "sfbc", 256) is fn
+    # past the (symbol-scaled) knee: wraps and still runs correctly.
+    # 14*64-symbol frames scale the sfbc knee down to 256*14//896 = 4,
+    # so 8 lanes chunk as 2x4 without bench-scale compute.
+    cfg = LTEConfig(bandwidth=1.25, modulation="QPSK")
+    sim = lambda k, b, s: siso.simulate_siso(k, b, s, cfg)  # noqa: E731
+    wrapped = auto_lane_chunked(sim, "sfbc", 8, num_ofdm_symbols=14 * 64)
+    assert wrapped is not sim
+    n = siso.bits_per_frame(cfg, 14)
+    bits = jnp.asarray(np.random.default_rng(7).integers(
+        0, 2, (8, n)).astype(np.int32))
+    r = wrapped(jax.random.PRNGKey(0), bits,
+                jnp.full((8,), 60.0, jnp.float32))
+    assert r.bit_errors.shape == (8,)
+    assert int(jnp.sum(r.bit_errors)) == 0

@@ -44,6 +44,17 @@ def test_sweep_frame_chunk_bit_identical():
     fb = sweep.ber_sweep(jax.random.PRNGKey(3), cfg, frame_chunk=3, **kw)
     np.testing.assert_array_equal(np.asarray(flat.bit_errors),
                                   np.asarray(fb.bit_errors))
+    # scan mode (sequential lax.map over chunks — the coded pipeline's
+    # measured winner) uses the same per-lane keys: bit-identical too
+    sc = sweep.ber_sweep(jax.random.PRNGKey(3), cfg,
+                         frame_chunk=(2, "scan"), **kw)
+    np.testing.assert_array_equal(np.asarray(flat.bit_errors),
+                                  np.asarray(sc.bit_errors))
+    # "auto" resolves via the measured policy; siso at tiny F is flat
+    au = sweep.ber_sweep(jax.random.PRNGKey(3), cfg,
+                         frame_chunk="auto", **kw)
+    np.testing.assert_array_equal(np.asarray(flat.bit_errors),
+                                  np.asarray(au.bit_errors))
 
 
 def test_sweep_single_device_matches_mesh_statistics():
