@@ -75,15 +75,49 @@ def _record(name, value):
         json.dump(_details, f, indent=2)
 
 
+# Committed last-good store: the full roster (~20 live entries at ~230 s
+# of TPU compile+measure each) no longer fits one OFDM_BENCH_BUDGET_S
+# run, so budget-skipped entries surface their most recent verified
+# measurement from this artifact (clearly dated + marked). Refresh with
+# OFDM_BENCH_UPDATE_LAST_GOOD=1 (off by default so driver runs never
+# dirty the working tree), typically via --entries=<skipped names>.
+_LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "results", "bench_last_good.json")
+_ENTRY_FILTER = None      # set from --entries=a,b,... in main()
+
+
+def _last_good_store():
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def _run_entry(name, fn, est_s):
     """Run one secondary bench entry under the wall-clock budget."""
+    if _ENTRY_FILTER is not None and name not in _ENTRY_FILTER:
+        return
     if _remaining_s() < est_s:
-        _record(name, {"skipped": "budget",
-                       "remaining_s": round(_remaining_s(), 1),
-                       "estimate_s": est_s})
+        rec = {"skipped": "budget",
+               "remaining_s": round(_remaining_s(), 1),
+               "estimate_s": est_s}
+        lg = _last_good_store().get(name)
+        if lg:
+            rec["last_good"] = lg
+        _record(name, rec)
         return
     try:
-        _record(name, fn())
+        out = fn()
+        _record(name, out)
+        if (os.environ.get("OFDM_BENCH_UPDATE_LAST_GOOD")
+                and isinstance(out, dict)
+                and not ({"skipped", "error"} & set(out))):
+            store = _last_good_store()
+            store[name] = {"measured": time.strftime("%Y-%m-%d"), **out}
+            os.makedirs(os.path.dirname(_LAST_GOOD_PATH), exist_ok=True)
+            with open(_LAST_GOOD_PATH, "w") as f:
+                json.dump(store, f, indent=2)
     except Exception as e:  # never lose the run to a secondary failure
         _record(name, {"error": str(e)[:200]})
 
@@ -844,8 +878,17 @@ def _alt_precision_siso(cfg, alt="highest"):
 
 
 def main():
+    global _ENTRY_FILTER
     from ofdm_lte_tpu import LTEConfig
     from ofdm_lte_tpu.precision import matmul_precision_name
+
+    for a in sys.argv[1:]:
+        # --entries=name1,name2: run ONLY the named BENCH_DETAILS entries
+        # (tooling for refreshing results/bench_last_good.json; combine
+        # with OFDM_BENCH_UPDATE_LAST_GOOD=1). Skips the headline unless
+        # siso_20MHz_64QAM is listed.
+        if a.startswith("--entries="):
+            _ENTRY_FILTER = set(a.split("=", 1)[1].split(","))
 
     cfg = LTEConfig(bandwidth=20.0, modulation="64-QAM")
     precision = matmul_precision_name()
@@ -860,35 +903,38 @@ def main():
     # and re-measure (keeping the best attempt and all rolls as evidence).
     slow_floor = {"default": 60000.0, "high": 35000.0,
                   "highest": 35000.0}.get(precision, 0.0)
-    siso_fps, siso_ber = bench_siso(cfg)
-    siso_rolls = _rolls_record()
-    attempt = 0
-    while (siso_fps < slow_floor and attempt < 2
-           and _remaining_s() > 900):
-        attempt += 1
-        print(f"# headline {siso_fps:.0f} f/s < slow-phase floor "
-              f"{slow_floor:.0f}: waiting 120 s and re-measuring "
-              f"(attempt {attempt})", file=sys.stderr)
-        time.sleep(120)
-        fps2, ber2 = bench_siso(cfg, n_rolls=2)
-        siso_rolls += _rolls_record()
-        if fps2 > siso_fps:
-            siso_fps, siso_ber = fps2, ber2
-    print(json.dumps({
-        "metric": "ofdm_frames_per_s_per_chip_20MHz_64QAM_siso",
-        "value": round(siso_fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(siso_fps / REF_SISO_FPS, 2),
-    }), flush=True)
-    if "--only-siso" in sys.argv:   # headline only (backend A/B tooling)
-        return
-    _record("siso_20MHz_64QAM", {
-        "frames_per_s": round(siso_fps, 2),
-        "vs_reference_cpu": round(siso_fps / REF_SISO_FPS, 2),
-        "ber_at_15db": siso_ber,
-        "precision": precision,
-        "rolls": siso_rolls,
-    })
+    if _ENTRY_FILTER is not None and "siso_20MHz_64QAM" not in _ENTRY_FILTER:
+        siso_fps, siso_ber = float("nan"), None   # filtered tooling run
+    else:
+        siso_fps, siso_ber = bench_siso(cfg)
+        siso_rolls = _rolls_record()
+        attempt = 0
+        while (siso_fps < slow_floor and attempt < 2
+               and _remaining_s() > 900):
+            attempt += 1
+            print(f"# headline {siso_fps:.0f} f/s < slow-phase floor "
+                  f"{slow_floor:.0f}: waiting 120 s and re-measuring "
+                  f"(attempt {attempt})", file=sys.stderr)
+            time.sleep(120)
+            fps2, ber2 = bench_siso(cfg, n_rolls=2)
+            siso_rolls += _rolls_record()
+            if fps2 > siso_fps:
+                siso_fps, siso_ber = fps2, ber2
+        print(json.dumps({
+            "metric": "ofdm_frames_per_s_per_chip_20MHz_64QAM_siso",
+            "value": round(siso_fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(siso_fps / REF_SISO_FPS, 2),
+        }), flush=True)
+        if "--only-siso" in sys.argv:  # headline only (backend A/B tooling)
+            return
+        _record("siso_20MHz_64QAM", {
+            "frames_per_s": round(siso_fps, 2),
+            "vs_reference_cpu": round(siso_fps / REF_SISO_FPS, 2),
+            "ber_at_15db": siso_ber,
+            "precision": precision,
+            "rolls": siso_rolls,
+        })
 
     # ---- secondary entries, cheapest/highest-value first, under budget ----
     def roofline():
@@ -925,7 +971,7 @@ def main():
 
     # parity guard: identical bits+key, only matmul rounding differs
     # between the two precision entries — BERs must agree tightly
-    if "ber_at_15db" in alt_entry:
+    if "ber_at_15db" in alt_entry and siso_ber is not None:
         delta = abs(alt_entry["ber_at_15db"] - siso_ber)
         _record("precision_parity", {
             "ber_default_mode": siso_ber if precision == "default"
@@ -958,6 +1004,33 @@ def main():
                 "vs_reference_cpu": round(fps / REF_SPATIAL_FPS, 2),
                 "rolls": rolls}
 
+    # ---- round-5 story first: diversity knees + chunked lanes + the
+    # coded chain. The full roster (~20 live entries at ~200-250 s of
+    # compile+measure each) exceeds one OFDM_BENCH_BUDGET_S run, so the
+    # order is value-ranked and budget-skipped tail entries surface
+    # their committed last-good measurement instead (bench_last_good).
+    fps = lambda o: o.get("frames_per_s", 0.0)            # noqa: E731
+    _run_entry("sfbc_2x1_rayleigh_10MHz_16QAM",
+               lambda: _retry_slow(bench_sfbc, fps, 70000.0), est_s=300)
+    _run_entry("sfbc_2x1_chunked_1024_10MHz_16QAM",
+               lambda: _retry_slow(bench_sfbc_chunked, fps, 80000.0),
+               est_s=400)
+    _run_entry("simo_1x4_rayleigh_5MHz_QPSK",
+               lambda: _retry_slow(bench_simo, fps, 55000.0), est_s=300)
+    _run_entry("simo_1x4_chunked_1024_5MHz_QPSK",
+               lambda: _retry_slow(bench_simo_chunked, fps, 60000.0),
+               est_s=400)
+    _run_entry("coded_batched_5MHz_QPSK_6000bit_TB",
+               lambda: _retry_slow(
+                   bench_coded_batched,
+                   lambda o: o.get("transport_blocks_per_s", 0.0), 1000.0),
+               est_s=700)   # block-BCJR compiles are big: ~120-320 s each
+    _run_entry("coded_chunked_256_5MHz_QPSK_6000bit_TB",
+               lambda: _retry_slow(
+                   bench_coded_chunked,
+                   lambda o: o.get("transport_blocks_per_s", 0.0), 1000.0),
+               est_s=500)
+
     _run_entry("spatial_2x2_20MHz_64QAM", spatial_entry, est_s=400)
 
     # roofline accounting for the spatial north-star (VERDICT r3 task 1):
@@ -977,7 +1050,6 @@ def main():
     # secondary entries get the headline's slow-phase retry (re-measure
     # after a wait when below the entry's known-good floor) + a rolls
     # spread summary (VERDICT r4 task 7)
-    fps = lambda o: o.get("frames_per_s", 0.0)            # noqa: E731
     _run_entry("spatial_4x4_20MHz_64QAM",
                lambda: _retry_slow(lambda: bench_spatial_4x4(cfg), fps,
                                    25000.0), est_s=300)
@@ -988,33 +1060,13 @@ def main():
                lambda: _retry_slow(lambda: bench_spatial_mp(cfg), fps,
                                    5000.0), est_s=300)
     _run_entry("beamforming_4x2_10MHz_64QAM", bench_beamforming, est_s=400)
-    _run_entry("siso_batch_scaling", lambda: bench_batch_scaling(cfg),
-               est_s=400)
     _run_entry("coded_5MHz_QPSK_6000bit_TB", bench_coded, est_s=300)
-    _run_entry("coded_batched_5MHz_QPSK_6000bit_TB",
-               lambda: _retry_slow(
-                   bench_coded_batched,
-                   lambda o: o.get("transport_blocks_per_s", 0.0), 1000.0),
-               est_s=700)   # block-BCJR compiles are big: ~120-320 s each
-    _run_entry("coded_chunked_256_5MHz_QPSK_6000bit_TB",
-               lambda: _retry_slow(
-                   bench_coded_chunked,
-                   lambda o: o.get("transport_blocks_per_s", 0.0), 1000.0),
-               est_s=500)
     _run_entry("scfdm_siso_5MHz_16QAM",
                lambda: _retry_slow(bench_scfdm, fps, 120000.0), est_s=300)
-    _run_entry("simo_1x4_rayleigh_5MHz_QPSK",
-               lambda: _retry_slow(bench_simo, fps, 55000.0), est_s=300)
-    _run_entry("sfbc_2x1_rayleigh_10MHz_16QAM",
-               lambda: _retry_slow(bench_sfbc, fps, 70000.0), est_s=300)
-    _run_entry("sfbc_2x1_chunked_1024_10MHz_16QAM",
-               lambda: _retry_slow(bench_sfbc_chunked, fps, 80000.0),
-               est_s=400)
-    _run_entry("simo_1x4_chunked_1024_5MHz_QPSK",
-               lambda: _retry_slow(bench_simo_chunked, fps, 60000.0),
-               est_s=400)
     _run_entry("ber_sweep_wall_clock", lambda: bench_sweep_wall_clock(cfg),
                est_s=200)
+    _run_entry("siso_batch_scaling", lambda: bench_batch_scaling(cfg),
+               est_s=400)
 
     # committed offline-measured scaling artifacts (tools/probe_*_lanes.py)
     # surfaced into BENCH_DETAILS so every run's record is self-contained
